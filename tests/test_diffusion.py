@@ -1,0 +1,396 @@
+"""Diffusion engine parity vs the reference guided-diffusion port."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from mdm_tpu.diffusion import (
+    MeanType,
+    SamplerConfig,
+    Schedule,
+    VarType,
+    gaussian as G,
+    losses as L,
+    named_beta_schedule,
+    p_sample_loop,
+    ddim_sample_loop,
+    plms_sample_loop,
+    space_timesteps,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def ref_gd(reference_path):
+    import diffusion.gaussian_diffusion as gd
+    return gd
+
+
+@pytest.fixture(scope="module")
+def ref_spaced(reference_path):
+    from diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+    return SpacedDiffusion, ref_space
+
+
+def make_ref_diffusion(ref_gd, betas, mean_type=None, var_type=None):
+    return ref_gd.GaussianDiffusion(
+        betas=betas,
+        model_mean_type=mean_type or ref_gd.ModelMeanType.START_X,
+        model_var_type=var_type or ref_gd.ModelVarType.FIXED_SMALL,
+        loss_type=ref_gd.LossType.MSE,
+    )
+
+
+class TestSchedules:
+    @pytest.mark.parametrize("name", ["linear", "cosine"])
+    def test_beta_schedules(self, ref_gd, name):
+        ours = named_beta_schedule(name, 1000)
+        theirs = ref_gd.get_named_beta_schedule(name, 1000)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+
+    def test_coefficient_tables(self, ref_gd):
+        betas = named_beta_schedule("cosine", 100)
+        sched = Schedule.from_betas(betas)
+        ref = make_ref_diffusion(ref_gd, betas)
+        for ours_name, theirs_name in [
+            ("alphas_cumprod", "alphas_cumprod"),
+            ("sqrt_alphas_cumprod", "sqrt_alphas_cumprod"),
+            ("sqrt_one_minus_alphas_cumprod", "sqrt_one_minus_alphas_cumprod"),
+            ("sqrt_recip_alphas_cumprod", "sqrt_recip_alphas_cumprod"),
+            ("sqrt_recipm1_alphas_cumprod", "sqrt_recipm1_alphas_cumprod"),
+            ("posterior_variance", "posterior_variance"),
+            ("posterior_log_variance_clipped", "posterior_log_variance_clipped"),
+            ("posterior_mean_coef1", "posterior_mean_coef1"),
+            ("posterior_mean_coef2", "posterior_mean_coef2"),
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(sched, ours_name)),
+                getattr(ref, theirs_name).astype(np.float32),
+                rtol=2e-5,
+                err_msg=ours_name,
+            )
+
+    def test_space_timesteps(self, ref_spaced):
+        _, ref_space = ref_spaced
+        for spec in ["50", "ddim25", [10, 15, 20]]:
+            assert space_timesteps(1000, spec) == ref_space(1000, spec)
+
+    def test_respaced_schedule(self, ref_gd, ref_spaced):
+        SpacedDiffusion, ref_space = ref_spaced
+        betas = named_beta_schedule("cosine", 1000)
+        use = ref_space(1000, "50")
+        ref = SpacedDiffusion(
+            use_timesteps=use,
+            betas=betas,
+            model_mean_type=ref_gd.ModelMeanType.START_X,
+            model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
+            loss_type=ref_gd.LossType.MSE,
+        )
+        sched = Schedule.respaced(betas, use)
+        np.testing.assert_allclose(
+            np.asarray(sched.betas), ref.betas.astype(np.float32), rtol=2e-5
+        )
+        np.testing.assert_allclose(np.asarray(sched.timestep_map), ref.timestep_map)
+        assert sched.num_timesteps == 50
+
+
+class TestQPAlgebra:
+    def setup_method(self):
+        self.betas = named_beta_schedule("cosine", 60)
+        self.sched = Schedule.from_betas(self.betas)
+        self.x0 = RNG.normal(size=(4, 12, 26)).astype(np.float32)
+        self.xt = RNG.normal(size=(4, 12, 26)).astype(np.float32)
+        self.t = np.array([0, 10, 30, 59])
+
+    def test_q_sample_and_posterior(self, ref_gd):
+        import torch
+        ref = make_ref_diffusion(ref_gd, self.betas)
+        noise = RNG.normal(size=self.x0.shape).astype(np.float32)
+        ours = G.q_sample(self.sched, jnp.asarray(self.x0), jnp.asarray(self.t), jnp.asarray(noise))
+        theirs = ref.q_sample(
+            torch.from_numpy(self.x0), torch.from_numpy(self.t), torch.from_numpy(noise)
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+        m, v, lv = G.q_posterior_mean_variance(
+            self.sched, jnp.asarray(self.x0), jnp.asarray(self.xt), jnp.asarray(self.t)
+        )
+        rm, rv, rlv = ref.q_posterior_mean_variance(
+            torch.from_numpy(self.x0), torch.from_numpy(self.xt), torch.from_numpy(self.t)
+        )
+        np.testing.assert_allclose(np.asarray(m), rm.numpy(), atol=1e-5)
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(lv), rlv.shape), rlv.numpy(), atol=1e-5
+        )
+
+    @pytest.mark.parametrize("mean_type", ["START_X", "EPSILON"])
+    def test_p_mean_variance(self, ref_gd, mean_type):
+        import torch
+        ref = make_ref_diffusion(
+            ref_gd, self.betas, mean_type=getattr(ref_gd.ModelMeanType, mean_type)
+        )
+        model_out = RNG.normal(size=self.x0.shape).astype(np.float32)
+        ref_model = lambda x, t, **kw: torch.from_numpy(model_out)
+        theirs = ref.p_mean_variance(
+            ref_model,
+            torch.from_numpy(self.xt),
+            torch.from_numpy(self.t),
+            clip_denoised=False,
+            model_kwargs={"y": {}},
+        )
+        ours = G.p_mean_variance(
+            self.sched,
+            jnp.asarray(model_out),
+            jnp.asarray(self.xt),
+            jnp.asarray(self.t),
+            mean_type=MeanType[mean_type],
+            var_type=VarType.FIXED_SMALL,
+            clip_denoised=False,
+        )
+        np.testing.assert_allclose(np.asarray(ours.mean), theirs["mean"].numpy(), atol=1e-4)
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(ours.log_variance), self.xt.shape),
+            theirs["log_variance"].numpy(),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.pred_xstart), theirs["pred_xstart"].numpy(), atol=1e-4
+        )
+
+    def test_vb_terms(self, ref_gd):
+        import torch
+        ref = make_ref_diffusion(ref_gd, self.betas)
+        model_out = RNG.normal(size=self.x0.shape).astype(np.float32)
+        ref_model = lambda x, t, **kw: torch.from_numpy(model_out)
+        theirs = ref._vb_terms_bpd(
+            ref_model,
+            torch.from_numpy(self.x0),
+            torch.from_numpy(self.xt),
+            torch.from_numpy(self.t),
+            clip_denoised=False,
+            model_kwargs={"y": {}},
+        )
+        ours, _ = G.vb_terms_bpd(
+            self.sched,
+            jnp.asarray(model_out),
+            jnp.asarray(self.x0),
+            jnp.asarray(self.xt),
+            jnp.asarray(self.t),
+            mean_type=MeanType.START_X,
+            var_type=VarType.FIXED_SMALL,
+        )
+        # t=0 decoder-NLL accumulates f32-vs-f64 table rounding; 0.2% is fine
+        # for a path MDM never enables (loss_type is always MSE).
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs["output"].numpy(), rtol=2e-3, atol=1e-3
+        )
+
+
+class _RefDeterministicModel:
+    """A tiny deterministic 'denoiser' usable from both frameworks."""
+
+    def __init__(self, shape):
+        self.w = RNG.normal(scale=0.05, size=shape[1:]).astype(np.float32)
+
+    def np_call(self, x, t):
+        return np.tanh(x * 0.9 + self.w * (1.0 + 0.001 * t.reshape(-1, 1, 1)))
+
+    def __call__(self, x, t, **kwargs):  # torch entry
+        import torch
+        return torch.from_numpy(self.np_call(x.numpy(), t.numpy().astype(np.float32)))
+
+    def jax_fn(self, x, t):
+        return jnp.tanh(x * 0.9 + jnp.asarray(self.w) * (1.0 + 0.001 * t.astype(jnp.float32).reshape(-1, 1, 1)))
+
+
+class TestSamplerParity:
+    """Deterministic sampler paths must match the reference exactly."""
+
+    def setup_method(self):
+        self.betas = named_beta_schedule("cosine", 20)
+        self.sched = Schedule.from_betas(self.betas)
+        self.shape = (2, 8, 6)
+        self.model = _RefDeterministicModel(self.shape)
+        self.noise = RNG.normal(size=self.shape).astype(np.float32)
+
+    def test_ddim_eta0(self, ref_gd):
+        import torch
+        ref = make_ref_diffusion(ref_gd, self.betas)
+        theirs = ref.ddim_sample_loop(
+            self.model,
+            self.shape,
+            noise=torch.from_numpy(self.noise.copy()),
+            clip_denoised=False,
+            model_kwargs={"y": {}},
+            eta=0.0,
+            device="cpu",
+        ).numpy()
+        ours = ddim_sample_loop(
+            self.model.jax_fn,
+            self.sched,
+            jnp.asarray(self.noise),
+            jax.random.PRNGKey(0),
+            SamplerConfig(clip_denoised=False, eta=0.0),
+        )
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+    def test_plms(self, ref_gd):
+        import torch
+        ref = make_ref_diffusion(ref_gd, self.betas)
+        theirs = ref.plms_sample_loop(
+            self.model,
+            self.shape,
+            noise=torch.from_numpy(self.noise.copy()),
+            clip_denoised=False,
+            model_kwargs={"y": {}},
+            device="cpu",
+            order=2,
+        ).numpy()
+        ours = plms_sample_loop(
+            self.model.jax_fn,
+            self.sched,
+            jnp.asarray(self.noise),
+            jax.random.PRNGKey(0),
+            SamplerConfig(clip_denoised=False, order=2),
+        )
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+    def test_ancestral_statistics(self):
+        """Stochastic path: can't match torch RNG; check distributional sanity
+        (zero-model => output follows the prior-ish marginal, finite)."""
+        ours = p_sample_loop(
+            self.model.jax_fn,
+            self.sched,
+            jnp.asarray(self.noise),
+            jax.random.PRNGKey(1),
+            SamplerConfig(clip_denoised=False),
+        )
+        assert np.isfinite(np.asarray(ours)).all()
+
+    def test_ancestral_scan_matches_manual_steps(self):
+        """The fused scan must equal a hand-unrolled two-step composition
+        (validates the scan mechanics; per-step math is covered by the
+        p_mean_variance parity tests)."""
+        betas = named_beta_schedule("cosine", 2)
+        sched = Schedule.from_betas(betas)
+        key = jax.random.PRNGKey(7)
+        ours = p_sample_loop(
+            self.model.jax_fn, sched, jnp.asarray(self.noise), key,
+            SamplerConfig(clip_denoised=False),
+        )
+
+        # Manual unroll with identical key-splitting discipline.
+        x = jnp.asarray(self.noise)
+        k = key
+        for i in [1, 0]:
+            k, nk = jax.random.split(k)
+            t = jnp.full((self.shape[0],), i, dtype=jnp.int32)
+            out = G.p_mean_variance(
+                sched, self.model.jax_fn(x, t), x, t,
+                mean_type=MeanType.START_X, var_type=VarType.FIXED_SMALL,
+            )
+            noise = jax.random.normal(nk, x.shape, x.dtype)
+            x = out.mean + (i != 0) * jnp.exp(0.5 * out.log_variance) * noise
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(x), atol=1e-5)
+
+    def test_inpainting_preserved(self):
+        """Inpainted regions must match ground truth exactly at the end."""
+        mask = np.zeros(self.shape, dtype=bool)
+        mask[:, :3] = True
+        gt = RNG.normal(size=self.shape).astype(np.float32)
+        out = p_sample_loop(
+            self.model.jax_fn,
+            self.sched,
+            jnp.asarray(self.noise),
+            jax.random.PRNGKey(2),
+            SamplerConfig(clip_denoised=False),
+            inpainting_mask=jnp.asarray(mask),
+            inpainted_motion=jnp.asarray(gt),
+        )
+        # Last step (t=0) returns the posterior mean of pred_x0, which equals
+        # gt inside the mask.
+        np.testing.assert_allclose(np.asarray(out)[mask], gt[mask], atol=1e-5)
+
+
+class TestLosses:
+    def test_masked_l2_matches_reference(self, reference_path):
+        import torch
+        from utils.loss_util import masked_l2 as ref_masked_l2
+
+        B, J, F, T = 3, 25, 6, 18
+        a = RNG.normal(size=(B, J, F, T)).astype(np.float32)
+        b = RNG.normal(size=(B, J, F, T)).astype(np.float32)
+        lengths = np.array([18, 9, 4])
+        mask_ref = (np.arange(T)[None] < lengths[:, None]).reshape(B, 1, 1, T)
+        theirs = ref_masked_l2(
+            torch.from_numpy(a), torch.from_numpy(b), torch.from_numpy(mask_ref)
+        ).numpy()
+        # Ours in [B, T, D] layout with [B, T, 1] mask.
+        at = np.transpose(a, (0, 3, 1, 2)).reshape(B, T, J * F)
+        bt = np.transpose(b, (0, 3, 1, 2)).reshape(B, T, J * F)
+        mask = (np.arange(T)[None] < lengths[:, None])[..., None]
+        ours = L.masked_l2(jnp.asarray(at), jnp.asarray(bt), jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4)
+
+    def test_training_losses_rot_mse(self, ref_gd):
+        import torch
+        betas = named_beta_schedule("cosine", 50)
+        sched = Schedule.from_betas(betas)
+        B, T, D = 3, 16, 30
+        x0 = RNG.normal(size=(B, T, D)).astype(np.float32)
+        noise = RNG.normal(size=(B, T, D)).astype(np.float32)
+        t = np.array([3, 20, 45])
+        lengths = np.array([16, 8, 5])
+        mask = (np.arange(T)[None] < lengths[:, None])[..., None]
+        xt = G.q_sample(sched, jnp.asarray(x0), jnp.asarray(t), jnp.asarray(noise))
+        model_out = np.asarray(xt) * 0.5
+
+        terms = L.training_losses(
+            sched,
+            jnp.asarray(model_out),
+            jnp.asarray(x0),
+            xt,
+            jnp.asarray(t),
+            jnp.asarray(noise),
+            jnp.asarray(mask),
+        )
+
+        # Reference computation (layout [B, J, F, T], model returns x_t*0.5).
+        ref = make_ref_diffusion(ref_gd, betas)
+
+        class _M:
+            class model:
+                pass
+
+        ref_x0 = np.transpose(x0.reshape(B, T, D, 1), (0, 2, 3, 1))
+        ref_noise = np.transpose(noise.reshape(B, T, D, 1), (0, 2, 3, 1))
+        ref_mask = (np.arange(T)[None] < lengths[:, None]).reshape(B, 1, 1, T)
+
+        def ref_model(x, tt, **kw):
+            return x * 0.5
+
+        wrapper = _M()
+        wrapper.model = None
+        ref_terms = None
+        # Bypass the rot2xyz hook by monkeypatching: geometric lambdas are 0.
+        import types
+
+        fake_model = types.SimpleNamespace(model=types.SimpleNamespace(rot2xyz=None, pose_rep=None, translation=None, glob=None))
+        ref.lambda_rcxyz = 0.0
+
+        def callable_model(x, tt, **kw):
+            return ref_model(x, tt)
+
+        callable_model.model = fake_model.model
+        ref_terms = ref.training_losses(
+            callable_model,
+            torch.from_numpy(ref_x0),
+            torch.from_numpy(t),
+            model_kwargs={"y": {"mask": torch.from_numpy(ref_mask)}},
+            noise=torch.from_numpy(ref_noise),
+        )
+        np.testing.assert_allclose(
+            np.asarray(terms["rot_mse"]), ref_terms["rot_mse"].numpy(), rtol=1e-4
+        )
