@@ -1,0 +1,254 @@
+"""Flax building blocks with PyTorch-checkpoint-compatible semantics.
+
+The published MDM checkpoints were trained with `torch.nn.TransformerEncoder
+/Decoder` (post-LayerNorm, GELU, specific dropout placement) and
+`torch.nn.GRU`. These modules reproduce that math exactly — weight-for-weight
+— so converted checkpoints produce identical outputs, while the layout is
+TPU-friendly: batch-major `[B, S, D]`, masks as additive attention bias, all
+heads in one fused projection feeding the MXU.
+
+Reference behavior: torch.nn.TransformerEncoderLayer (post-norm), consumed at
+/root/reference/model/mdm.py:75-98.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def gelu_exact(x):
+    """erf-based GELU — torch's F.gelu default, needed for checkpoint parity
+    (jax.nn.gelu defaults to the tanh approximation)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def sinusoidal_table(max_len: int, d_model: int) -> np.ndarray:
+    """Classic sin/cos positional table [max_len, d_model] (f32 host const)."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-np.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(np.float32)
+
+
+class MultiHeadAttention(nn.Module):
+    """Scaled-dot-product attention matching torch.nn.MultiheadAttention.
+
+    Params: q/k/v projections (converted from torch's packed in_proj) and an
+    output projection. `attn_bias` is additive (`-inf` = masked), already
+    broadcast to [B, 1|H, Sq, Sk].
+    """
+
+    num_heads: int
+    d_model: int
+    dropout: float = 0.0
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, Sq, D]
+        key: jnp.ndarray,  # [B, Sk, D]
+        value: jnp.ndarray,  # [B, Sk, D]
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        D, H = self.d_model, self.num_heads
+        head_dim = D // H
+        cdt = self.compute_dtype or query.dtype
+
+        q = nn.Dense(D, name="q_proj", dtype=cdt)(query)
+        k = nn.Dense(D, name="k_proj", dtype=cdt)(key)
+        v = nn.Dense(D, name="v_proj", dtype=cdt)(value)
+
+        split = lambda x: x.reshape(x.shape[0], x.shape[1], H, head_dim)
+        q, k, v = split(q), split(k), split(v)
+
+        # [B, H, Sq, Sk]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, dtype=cdt)
+        )
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(cdt)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = out.reshape(out.shape[0], out.shape[1], D)
+        return nn.Dense(D, name="out_proj", dtype=cdt)(out)
+
+
+def key_padding_bias(padding_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """[B, Sk] bool (True = ignore) -> additive bias [B, 1, 1, Sk]."""
+    if padding_mask is None:
+        return None
+    neg = jnp.asarray(-1e9, dtype=jnp.float32)
+    return jnp.where(padding_mask, neg, 0.0)[:, None, None, :]
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder layer (torch default semantics)."""
+
+    d_model: int
+    num_heads: int
+    ff_size: int
+    dropout: float = 0.1
+    activation: Callable = gelu_exact
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, padding_bias=None, deterministic: bool = True):
+        attn = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout,
+            compute_dtype=self.compute_dtype, name="self_attn",
+        )(x, x, x, attn_bias=padding_bias, deterministic=deterministic)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
+
+        h = nn.Dense(self.ff_size, name="linear1")(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-LN decoder layer: self-attn, cross-attn, FFN (torch semantics)."""
+
+    d_model: int
+    num_heads: int
+    ff_size: int
+    dropout: float = 0.1
+    activation: Callable = gelu_exact
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, tgt, memory, tgt_bias=None, memory_bias=None, deterministic: bool = True
+    ):
+        attn = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout,
+            compute_dtype=self.compute_dtype, name="self_attn",
+        )(tgt, tgt, tgt, attn_bias=tgt_bias, deterministic=deterministic)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + attn)
+
+        cross = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout,
+            compute_dtype=self.compute_dtype, name="multihead_attn",
+        )(tgt, memory, memory, attn_bias=memory_bias, deterministic=deterministic)
+        cross = nn.Dropout(self.dropout)(cross, deterministic=deterministic)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + cross)
+
+        h = nn.Dense(self.ff_size, name="linear1")(tgt)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + h)
+
+
+class TransformerEncoder(nn.Module):
+    d_model: int
+    num_heads: int
+    ff_size: int
+    num_layers: int
+    dropout: float = 0.1
+    activation: Callable = gelu_exact
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, deterministic: bool = True):
+        bias = key_padding_bias(padding_mask)
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.d_model, self.num_heads, self.ff_size, self.dropout,
+                self.activation, self.compute_dtype, name=f"layers_{i}",
+            )(x, bias, deterministic)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    d_model: int
+    num_heads: int
+    ff_size: int
+    num_layers: int
+    dropout: float = 0.1
+    activation: Callable = gelu_exact
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, tgt, memory, tgt_padding_mask=None, memory_padding_mask=None,
+        deterministic: bool = True,
+    ):
+        tgt_bias = key_padding_bias(tgt_padding_mask)
+        mem_bias = key_padding_bias(memory_padding_mask)
+        for i in range(self.num_layers):
+            tgt = TransformerDecoderLayer(
+                self.d_model, self.num_heads, self.ff_size, self.dropout,
+                self.activation, self.compute_dtype, name=f"layers_{i}",
+            )(tgt, memory, tgt_bias, mem_bias, deterministic)
+        return tgt
+
+
+class GRU(nn.Module):
+    """Multi-layer GRU with torch.nn.GRU gate math and weight layout.
+
+    Input [B, S, D] -> output [B, S, D]. The time recurrence is a
+    `lax.scan`; all gates for a step are one fused [D, 3D] matmul.
+    """
+
+    d_model: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        D = self.d_model
+        for layer in range(self.num_layers):
+            w_ih = self.param(f"w_ih_l{layer}", nn.initializers.lecun_normal(), (x.shape[-1], 3 * D))
+            w_hh = self.param(f"w_hh_l{layer}", nn.initializers.lecun_normal(), (D, 3 * D))
+            b_ih = self.param(f"b_ih_l{layer}", nn.initializers.zeros, (3 * D,))
+            b_hh = self.param(f"b_hh_l{layer}", nn.initializers.zeros, (3 * D,))
+
+            # Precompute input contributions for the whole sequence: one big
+            # MXU matmul instead of S small ones.
+            gates_x = x @ w_ih + b_ih  # [B, S, 3D]
+
+            def step(h, gx):
+                gh = h @ w_hh + b_hh
+                xr, xz, xn = jnp.split(gx, 3, axis=-1)
+                hr, hz, hn = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)
+                h_new = (1.0 - z) * n + z * h
+                return h_new, h_new
+
+            h0 = jnp.zeros((x.shape[0], D), dtype=x.dtype)
+            _, ys = jax.lax.scan(step, h0, jnp.swapaxes(gates_x, 0, 1))
+            x = jnp.swapaxes(ys, 0, 1)
+        return x
+
+
+class TimestepEmbedder(nn.Module):
+    """PE-table lookup + 2-layer SiLU MLP (reference mdm.py:316-330)."""
+
+    latent_dim: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        table = jnp.asarray(sinusoidal_table(self.max_len, self.latent_dim))
+        h = table[timesteps]  # [B, D]
+        h = nn.Dense(self.latent_dim, name="time_embed_0")(h)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.latent_dim, name="time_embed_2")(h)
