@@ -1,0 +1,117 @@
+"""Host-side training loop around the jitted train step.
+
+Reference: TrainLoop (train/training_loop.py:37-475). The per-step work —
+t-sampling, q_sample, forward, loss, backward, AdamW, EMA, LR anneal — is
+one fused XLA program (`make_train_step`); this loop only feeds sharded
+batches, logs KVs, checkpoints, and runs eval/generate callbacks.
+
+Env hook: MDM_TPU_TRAINING_TEST=1 stops after the first save (the
+reference's DIFFUSION_TRAINING_TEST smoke-test seam, training_loop.py:241).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+from .checkpoints import find_resume_checkpoint, restore_checkpoint, save_args, save_checkpoint
+from .logger import KVLogger
+from .platforms import TrainPlatform, NoPlatform
+
+
+@dataclass
+class LoopConfig:
+    save_dir: str = "save/run"
+    num_steps: int = 600_000
+    log_interval: int = 1_000
+    save_interval: int = 50_000
+    eval_during_training: bool = False
+    gen_during_training: bool = False
+    resume: bool = True
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        train_step: Callable,
+        state,
+        data_iter: Iterable,
+        config: LoopConfig,
+        *,
+        args: Optional[Dict[str, Any]] = None,
+        platform: Optional[TrainPlatform] = None,
+        eval_fn: Optional[Callable[[Any, int], Dict[str, float]]] = None,
+        gen_fn: Optional[Callable[[Any, int], Optional[str]]] = None,
+        rng_seed: int = 10,
+    ):
+        self.train_step = train_step
+        self.state = state
+        self.data_iter = iter(data_iter)
+        self.config = config
+        self.platform = platform or NoPlatform(config.save_dir)
+        self.logger = KVLogger(config.save_dir)
+        self.eval_fn = eval_fn
+        self.gen_fn = gen_fn
+        self.key = jax.random.PRNGKey(rng_seed)
+
+        os.makedirs(config.save_dir, exist_ok=True)
+        if args is not None:
+            save_args(config.save_dir, args)
+            self.platform.report_args(args, "args")
+
+        if config.resume:
+            found = find_resume_checkpoint(config.save_dir)
+            if found:
+                path, step = found
+                print(f"resuming from {path} (step {step})")
+                self.state = restore_checkpoint(path, self.state)
+
+    @property
+    def step(self) -> int:
+        return int(np.asarray(self.state.step))
+
+    def run(self):
+        cfg = self.config
+        t_last = time.time()
+        while self.step < cfg.num_steps:
+            batch = next(self.data_iter)
+            batch = shard_batch(batch)
+            self.key, sub = jax.random.split(self.key)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+
+            step = self.step
+            for k, v in metrics.items():
+                self.logger.logkv_mean(k, float(np.asarray(v)))
+
+            if step % cfg.log_interval == 0:
+                self.logger.logkv("step", step)
+                self.logger.logkv(
+                    "steps_per_sec",
+                    cfg.log_interval / max(time.time() - t_last, 1e-9),
+                )
+                t_last = time.time()
+                for k, v in self.logger.dumpkvs().items():
+                    self.platform.report_scalar(k, v, step, group_name="Loss")
+
+            if step % cfg.save_interval == 0 or step == cfg.num_steps:
+                self.save()
+                if self.eval_fn and cfg.eval_during_training:
+                    for k, v in (self.eval_fn(self.state, step) or {}).items():
+                        self.platform.report_scalar(k, v, step, group_name="Eval")
+                if self.gen_fn and cfg.gen_during_training:
+                    media = self.gen_fn(self.state, step)
+                    if media:
+                        self.platform.report_media("Motion", "gen", step, media)
+                if os.environ.get("MDM_TPU_TRAINING_TEST", ""):
+                    print("MDM_TPU_TRAINING_TEST set: stopping after first save")
+                    return
+
+    def save(self):
+        path = save_checkpoint(self.config.save_dir, self.step, self.state)
+        print(f"saved checkpoint {path}")
+        return path

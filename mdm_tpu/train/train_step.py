@@ -1,0 +1,124 @@
+"""The jitted training step: loss + grad + AdamW + EMA in one XLA program.
+
+Fuses what the reference spreads across forward_backward / MixedPrecision
+Trainer / optimize / update_average_model (train/training_loop.py:292-347,
+diffusion/fp16_util.py:148-232) into a single donated-buffer jit, sharded
+over the data axis of the active mesh. bf16 compute with f32 params replaces
+the (disabled) fp16 loss-scaling machinery.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..diffusion import gaussian as G
+from ..diffusion.losses import LossConfig, training_losses
+from ..diffusion.schedule import Schedule
+from ..models.mdm import Conditioning
+from ..parallel.mesh import DATA_AXIS, get_mesh
+from .resample import uniform_sample_t
+from .state import OptimConfig, TrainState, apply_gradients, make_optimizer
+
+
+@dataclass(frozen=True)
+class TrainStepConfig:
+    loss: LossConfig = LossConfig()
+    optim: OptimConfig = OptimConfig()
+    cond_mask_prob: float = 0.1  # CFG condition dropout
+
+
+def quartile_metrics(losses: jnp.ndarray, t: jnp.ndarray, num_timesteps: int):
+    """Per-timestep-quartile mean loss (reference training_loop.py:469-475)."""
+    quartile = (4 * t) // num_timesteps
+    out = {}
+    for q in range(4):
+        sel = (quartile == q).astype(losses.dtype)
+        out[f"loss_q{q}"] = jnp.sum(losses * sel) / jnp.maximum(sel.sum(), 1.0)
+    return out
+
+
+def make_train_step(
+    apply_fn: Callable,
+    sched: Schedule,
+    config: TrainStepConfig,
+    *,
+    get_xyz: Optional[Callable] = None,
+    target_loss_builder: Optional[Callable] = None,
+    use_shardings: bool = True,
+):
+    """Build the jitted train step.
+
+    apply_fn(params, x, t, cond, rngs=...) -> model output  (flax apply)
+    Returns step(state, batch, key) -> (state, metrics). `batch` is a dict
+    with `x [B,T,D]`, `mask [B,T]` and a `cond: Conditioning` pytree.
+    """
+    tx = make_optimizer(config.optim)
+
+    def step(state: TrainState, batch: Dict[str, Any], key: jax.Array):
+        x_start = batch["x"]
+        mask = batch["mask"]
+        cond: Conditioning = batch["cond"]
+        B = x_start.shape[0]
+
+        key_t, key_noise, key_drop, key_dropout = jax.random.split(key, 4)
+        t, weights = uniform_sample_t(key_t, B, sched.num_timesteps)
+        noise = jax.random.normal(key_noise, x_start.shape, x_start.dtype)
+        x_t = G.q_sample(sched, x_start, t, noise)
+
+        if config.cond_mask_prob > 0:
+            drop = jax.random.bernoulli(key_drop, config.cond_mask_prob, (B,))
+            cond = cond.replace(cond_drop=drop, frames_mask=mask)
+        else:
+            cond = cond.replace(frames_mask=mask)
+
+        target_loss_fn = (
+            target_loss_builder(batch) if target_loss_builder is not None else None
+        )
+
+        def loss_fn(params):
+            model_out = apply_fn(
+                {"params": params},
+                x_t,
+                sched.model_timesteps(t),
+                cond,
+                False,  # deterministic=False: enable dropout
+                rngs={"dropout": key_dropout},
+            )
+            terms = training_losses(
+                sched, model_out, x_start, x_t, t, noise, mask[..., None],
+                config.loss, get_xyz=get_xyz, target_loss_fn=target_loss_fn,
+            )
+            loss = jnp.mean(weights * terms["loss"])
+            return loss, terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        param_norm = optax.global_norm(state.params)
+        new_state = apply_gradients(state, grads, config.optim, tx)
+
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "param_norm": param_norm,
+            **{k: jnp.mean(v) for k, v in terms.items() if k != "loss"},
+            **quartile_metrics(terms["loss"], t, sched.num_timesteps),
+        }
+        return new_state, metrics
+
+    if not use_shardings:
+        return jax.jit(step, donate_argnums=(0,))
+
+    mesh = get_mesh()
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
