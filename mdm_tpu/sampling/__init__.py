@@ -1,0 +1,8 @@
+"""Generation/editing pipelines."""
+from .pipeline import (  # noqa: F401
+    GenerationConfig,
+    MotionGenerator,
+    in_between_mask,
+    load_norm_stats,
+    upper_body_mask,
+)

@@ -1,0 +1,204 @@
+"""End-to-end generation pipeline: text -> motion joints.
+
+TPU-native equivalent of sample/generate.py + utils/sampler_util.py in the
+reference. The entire denoise loop (CFG double-batch included) is one jitted
+XLA program; text encoding happens once per batch on entry; decode to joints
+(`recover_from_ric`) is also jitted. The autoregressive DiP sampler runs the
+jitted chunk program in a host loop, carrying the 20-frame prefix.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass, replace
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import hml_codec
+from ..diffusion import SamplerConfig, Schedule, samplers
+from ..models.mdm import MDM, Conditioning, MDMConfig, cfg_denoiser
+
+STATS_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets", "stats")
+
+
+def load_norm_stats(dataset: str = "humanml"):
+    """Z-normalization stats for the hml_vec codec (data assets)."""
+    prefix = "t2m" if dataset == "humanml" else "kit"
+    mean = np.load(os.path.join(STATS_DIR, f"{prefix}_mean.npy"))
+    std = np.load(os.path.join(STATS_DIR, f"{prefix}_std.npy"))
+    return mean.astype(np.float32), std.astype(np.float32)
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    guidance_scale: float = 2.5
+    sampler: str = "ddpm"  # ddpm | ddim | plms
+    clip_denoised: bool = False
+    max_frames: int = 196
+    # DiP autoregressive generation
+    autoregressive: bool = False
+    context_len: int = 20
+    pred_len: int = 40
+    autoregressive_include_prefix: bool = False
+
+
+class MotionGenerator:
+    """Holds model+schedule and compiles samplers once per (shape, config)."""
+
+    def __init__(
+        self,
+        model: MDM,
+        params,
+        sched: Schedule,
+        config: GenerationConfig = GenerationConfig(),
+        dataset: str = "humanml",
+    ):
+        self.model = model
+        self.params = params
+        self.sched = sched
+        self.config = config
+        self.dataset = dataset
+        self.joints_num = 22 if dataset == "humanml" else 21
+        if model.config.data_rep == "hml_vec":
+            self.mean, self.std = load_norm_stats(dataset)
+        else:
+            self.mean = self.std = None
+
+        # Jit-compiled entry points (params passed as traced args so one
+        # compilation serves updated params, e.g. EMA swaps).
+        sampler = samplers.SAMPLERS[self.config.sampler]
+        scfg = SamplerConfig(clip_denoised=self.config.clip_denoised)
+
+        def _raw_sample(params, cond, noise, key, inpainting_mask, inpainted_motion):
+            if self.config.guidance_scale != 1.0:
+                base = cfg_denoiser(
+                    lambda p, x, t, c: self.model.apply(p, x, t, c),
+                    params,
+                    self.config.guidance_scale,
+                )
+                model_fn = lambda x, t: base(x, t, cond)
+            else:
+                model_fn = lambda x, t: self.model.apply(params, x, t, cond)
+            return sampler(
+                model_fn, self.sched, noise, key, scfg,
+                inpainting_mask=inpainting_mask, inpainted_motion=inpainted_motion,
+            )
+
+        self._sample_jit = jax.jit(_raw_sample)
+
+        if self.mean is not None:
+            mean_c, std_c = jnp.asarray(self.mean), jnp.asarray(self.std)
+
+            def _to_joints(feats):
+                return hml_codec.recover_from_ric(
+                    feats * std_c + mean_c, self.joints_num
+                )
+
+            self._to_joints_jit = jax.jit(_to_joints)
+
+    # ------------------------------------------------------------ public API
+    def sample_features(
+        self,
+        cond: Conditioning,
+        batch_size: int,
+        num_frames: int,
+        key: jax.Array,
+        inpainting_mask: Optional[jnp.ndarray] = None,
+        inpainted_motion: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """One diffusion sample: normalized features [B, T, D]."""
+        D = self.model.config.input_feats
+        key, nk = jax.random.split(key)
+        noise = jax.random.normal(nk, (batch_size, num_frames, D), jnp.float32)
+        return self._sample_jit(
+            self.params, cond, noise, key, inpainting_mask, inpainted_motion
+        )
+
+    def sample_autoregressive(
+        self,
+        cond: Conditioning,
+        batch_size: int,
+        key: jax.Array,
+        required_frames: int = 196,
+        per_chunk_cond: Optional[Callable[[int, Conditioning], Conditioning]] = None,
+    ) -> jnp.ndarray:
+        """DiP: chunked prefix-completion generation of arbitrary length.
+
+        Mirrors AutoRegressiveSampler (reference utils/sampler_util.py:41-81):
+        keeps the last `context_len` generated frames as prefix, denoises
+        `pred_len` new frames per chunk, optional per-chunk conditioning
+        (dynamic text prompts) via `per_chunk_cond`.
+        """
+        ccfg = self.config
+        assert cond.prefix is not None, "autoregressive sampling requires an initial prefix"
+        n_iters = (required_frames // ccfg.pred_len) + int(required_frames % ccfg.pred_len > 0)
+        prefix = cond.prefix
+        buf = [np.asarray(prefix)] if ccfg.autoregressive_include_prefix else []
+
+        for i in range(n_iters):
+            cur = cond.replace(prefix=prefix)
+            if per_chunk_cond is not None:
+                cur = per_chunk_cond(i, cur)
+            key, sub = jax.random.split(key)
+            sample = self.sample_features(cur, batch_size, ccfg.pred_len, sub)
+            buf.append(np.asarray(sample[:, -ccfg.pred_len :]))
+            full = jnp.concatenate([prefix, sample], axis=1)
+            prefix = full[:, -ccfg.context_len :]
+
+        return jnp.asarray(np.concatenate(buf, axis=1)[:, :required_frames])
+
+    def features_to_joints(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """Denormalize + decode hml_vec features to joints [B, T, J, 3]."""
+        return self._to_joints_jit(feats)
+
+    def generate(
+        self,
+        cond: Conditioning,
+        batch_size: int,
+        num_frames: int,
+        key: jax.Array,
+        **kwargs,
+    ):
+        """Full pipeline -> dict(features, joints)."""
+        if self.config.autoregressive:
+            feats = self.sample_autoregressive(
+                cond, batch_size, key, required_frames=num_frames
+            )
+        else:
+            feats = self.sample_features(cond, batch_size, num_frames, key, **kwargs)
+        out = {"features": feats}
+        if self.mean is not None:
+            out["joints"] = self.features_to_joints(feats)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Editing (sample/edit.py equivalents)
+# ---------------------------------------------------------------------------
+
+def in_between_mask(
+    lengths: np.ndarray, num_frames: int, feat_dim: int,
+    prefix_end: float = 0.25, suffix_start: float = 0.75,
+) -> np.ndarray:
+    """Temporal inpainting mask [B, T, D]: True = keep ground truth.
+
+    Keeps frames before 0.25*len and after 0.75*len (reference edit.py:78-85).
+    """
+    B = len(lengths)
+    mask = np.zeros((B, num_frames, feat_dim), dtype=bool)
+    for i, L in enumerate(lengths):
+        mask[i, : int(L * prefix_end)] = True
+        mask[i, int(L * suffix_start) : L] = True
+    return mask
+
+
+def upper_body_mask(num_frames: int, batch_size: int) -> np.ndarray:
+    """Feature-space mask [B, T, 263]: True = keep GT (lower body + root)."""
+    from ..core.hml_masks import HML_LOWER_BODY_MASK
+
+    return np.broadcast_to(
+        HML_LOWER_BODY_MASK[None, None, :], (batch_size, num_frames, len(HML_LOWER_BODY_MASK))
+    ).copy()

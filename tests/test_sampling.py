@@ -1,0 +1,93 @@
+"""End-to-end sampling pipeline tests (random weights, tiny shapes)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from mdm_tpu.diffusion import Schedule
+from mdm_tpu.models import MDM, Conditioning, MDMConfig
+from mdm_tpu.sampling import (
+    GenerationConfig,
+    MotionGenerator,
+    in_between_mask,
+    upper_body_mask,
+)
+
+RNG = np.random.default_rng(5)
+
+
+def tiny_mdm(**kw):
+    cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=32, ff_size=64,
+                    num_layers=2, num_heads=4, **kw)
+    model = MDM(cfg)
+    x = jnp.zeros((1, 8, 263))
+    cond = Conditioning(text_embed=jnp.zeros((1, 512)),
+                        prefix=jnp.zeros((1, cfg.context_len, 263)) if cfg.context_len else None)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), cond)
+    return model, params
+
+
+class TestGenerate:
+    def test_text_to_motion_pipeline(self):
+        model, params = tiny_mdm()
+        sched = Schedule.create("cosine", 1000, timestep_respacing="10")
+        gen = MotionGenerator(
+            model, params, sched, GenerationConfig(guidance_scale=2.5), "humanml"
+        )
+        B, T = 2, 24
+        cond = Conditioning(
+            text_embed=jnp.asarray(RNG.normal(size=(B, 512)).astype(np.float32)),
+            frames_mask=jnp.ones((B, T), bool),
+        )
+        out = gen.generate(cond, B, T, jax.random.PRNGKey(1))
+        assert out["features"].shape == (B, T, 263)
+        assert out["joints"].shape == (B, T, 22, 3)
+        assert np.isfinite(np.asarray(out["joints"])).all()
+
+    def test_autoregressive_dip(self):
+        ctx, pred = 4, 8
+        model, params = tiny_mdm(arch="trans_dec", context_len=ctx, pred_len=pred,
+                                 text_dim=512, emb_policy="add")
+        sched = Schedule.create("cosine", 1000, timestep_respacing="10")
+        gen = MotionGenerator(
+            model, params, sched,
+            GenerationConfig(guidance_scale=7.5, autoregressive=True,
+                             context_len=ctx, pred_len=pred),
+            "humanml",
+        )
+        B, frames = 2, 20  # not divisible by pred: 3 chunks, truncate to 20
+        cond = Conditioning(
+            text_embed=jnp.asarray(RNG.normal(size=(B, 512)).astype(np.float32)),
+            frames_mask=jnp.ones((B, pred), bool),
+            prefix=jnp.asarray(RNG.normal(size=(B, ctx, 263)).astype(np.float32)),
+        )
+        feats = gen.sample_autoregressive(
+            cond, B, jax.random.PRNGKey(2), required_frames=frames
+        )
+        assert feats.shape == (B, frames, 263)
+        assert np.isfinite(np.asarray(feats)).all()
+
+    def test_edit_in_between_preserves_gt(self):
+        model, params = tiny_mdm()
+        sched = Schedule.create("cosine", 1000, timestep_respacing="10")
+        gen = MotionGenerator(model, params, sched, GenerationConfig(), "humanml")
+        B, T = 2, 16
+        gt = RNG.normal(size=(B, T, 263)).astype(np.float32)
+        lengths = np.array([16, 12])
+        mask = in_between_mask(lengths, T, 263)
+        cond = Conditioning(
+            text_embed=jnp.asarray(RNG.normal(size=(B, 512)).astype(np.float32)),
+            frames_mask=jnp.ones((B, T), bool),
+        )
+        feats = gen.sample_features(
+            cond, B, T, jax.random.PRNGKey(3),
+            inpainting_mask=jnp.asarray(mask), inpainted_motion=jnp.asarray(gt),
+        )
+        np.testing.assert_allclose(np.asarray(feats)[mask], gt[mask], atol=1e-5)
+
+    def test_upper_body_mask_shape(self):
+        m = upper_body_mask(10, 3)
+        assert m.shape == (3, 10, 263)
+        # lower body + root + foot-contact are kept
+        assert m[0, 0, :4].all() and m[0, 0, -4:].all()
