@@ -1,0 +1,149 @@
+"""Dataset dispatch + batching iterator (reference data_loaders/get_data.py).
+
+`get_dataset_loader(name, batch_size, num_frames, ...)` returns a
+`BatchIterator` yielding fixed-shape numpy batches with a `Conditioning`
+pytree attached, ready for `parallel.shard_batch`. A background thread
+prefetches the next batch while the device is busy (replacing the
+reference's 8 torch DataLoader workers — batch assembly here is cheap
+because parsing/caching happened once up front).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from .a2m import A2MConfig, HumanAct12, UESTC
+from .collate import collate_batch, collate_prefix
+from .humanml import HumanMLDataset, HumanMLOptions
+
+
+def get_dataset(
+    name: str,
+    num_frames: int = 196,
+    split: str = "train",
+    hml_mode: str = "train",
+    data_root: Optional[str] = None,
+    fixed_len: int = 0,
+    **kwargs,
+):
+    if name in ("humanml", "kit"):
+        opt = HumanMLOptions.for_dataset(
+            name, data_root,
+            max_motion_length=num_frames, fixed_len=fixed_len,
+            **{k: v for k, v in kwargs.items() if k in HumanMLOptions.__dataclass_fields__},
+        )
+        return HumanMLDataset(opt, split=split, mode=hml_mode)
+    cfg = A2MConfig(num_frames=num_frames, pose_rep=kwargs.get("pose_rep", "rot6d"))
+    if name == "humanact12":
+        return HumanAct12(cfg, datapath=data_root or "dataset/HumanAct12Poses", split=split)
+    if name == "uestc":
+        return UESTC(cfg, datapath=data_root or "dataset/uestc", split=split)
+    raise ValueError(f"unknown dataset {name!r}")
+
+
+class BatchIterator:
+    """Infinite (train) or epoch (eval) iterator of collated batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        infinite: bool = True,
+        pred_len: int = 0,
+        prefetch: int = 2,
+        text_embedder: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.infinite = infinite
+        self.pred_len = pred_len
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.text_embedder = text_embedder
+
+    def _epoch_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, indices):
+        samples = [self.dataset.sample(int(i), self.rng) for i in indices]
+        if self.pred_len > 0:
+            batch = collate_prefix(samples, self.pred_len)
+        else:
+            batch = collate_batch(samples, target_batch_size=self.batch_size)
+        if self.text_embedder is not None and "text" in batch:
+            batch.update(self.text_embedder(batch["text"]))
+        return batch
+
+    def _gen(self) -> Iterator[Dict]:
+        while True:
+            idx = self._epoch_indices()
+            for start in range(0, len(idx), self.batch_size):
+                chunk = idx[start : start + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                yield self._make_batch(chunk)
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._gen()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def producer():
+            try:
+                for b in self._gen():
+                    q.put(b)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is DONE:
+                return
+            yield b
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+
+def get_dataset_loader(
+    name: str,
+    batch_size: int,
+    num_frames: int = 196,
+    split: str = "train",
+    hml_mode: str = "train",
+    fixed_len: int = 0,
+    pred_len: int = 0,
+    **kwargs,
+) -> BatchIterator:
+    dataset = get_dataset(
+        name, num_frames=num_frames, split=split, hml_mode=hml_mode,
+        fixed_len=fixed_len, **kwargs,
+    )
+    return BatchIterator(
+        dataset,
+        batch_size,
+        shuffle=(split == "train" or hml_mode == "train"),
+        infinite=(hml_mode == "train"),
+        pred_len=pred_len if fixed_len > 0 else 0,
+    )

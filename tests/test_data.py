@@ -1,0 +1,145 @@
+"""Data pipeline tests on synthetic on-disk datasets."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from mdm_tpu.data import (
+    A2MConfig,
+    BatchIterator,
+    HumanAct12,
+    HumanMLDataset,
+    HumanMLOptions,
+    collate_batch,
+    collate_prefix,
+    get_dataset_loader,
+    lengths_to_mask,
+)
+
+RNG = np.random.default_rng(9)
+
+
+@pytest.fixture()
+def synthetic_humanml(tmp_path):
+    """Tiny HumanML3D-format dataset on disk."""
+    root = tmp_path / "HumanML3D"
+    (root / "new_joint_vecs").mkdir(parents=True)
+    (root / "texts").mkdir()
+    names = []
+    for i in range(6):
+        name = f"{i:06d}"
+        L = int(RNG.integers(45, 190))
+        np.save(root / "new_joint_vecs" / f"{name}.npy",
+                RNG.normal(size=(L, 263)).astype(np.float32))
+        lines = [
+            f"a person walks forward#a/DET person/NOUN walk/VERB forward/Loc_VIP#0.0#0.0",
+            f"someone moves#someone/PRON move/VERB#0.0#0.0",
+        ]
+        if i == 0:
+            # sub-clip annotation (f_tag/to_tag)
+            lines.append("a person jumps#a/DET person/NOUN jump/VERB#1.0#4.0")
+        (root / "texts" / f"{name}.txt").write_text("\n".join(lines))
+    (root / "train.txt").write_text("\n".join(f"{i:06d}" for i in range(6)))
+    np.save(root / "Mean.npy", np.zeros(263, np.float32))
+    np.save(root / "Std.npy", np.ones(263, np.float32))
+    return str(root)
+
+
+class TestHumanML:
+    def test_parse_filter_pad(self, synthetic_humanml):
+        opt = HumanMLOptions(data_root=synthetic_humanml, use_cache=False)
+        ds = HumanMLDataset(opt, split="train")
+        assert len(ds) >= 6  # sub-clip may add one
+        s = ds.sample(0, RNG)
+        assert s["motion"].shape == (196, 263)
+        assert s["length"] % opt.unit_length == 0
+        assert s["motion"][s["length"]:].sum() == 0  # zero padding
+        assert len(s["tokens"]) >= s["sent_len"]
+        assert s["tokens"][0] == "sos/OTHER"
+
+    def test_cache_roundtrip(self, synthetic_humanml, tmp_path):
+        opt = HumanMLOptions(
+            data_root=synthetic_humanml, use_cache=True, cache_dir=str(tmp_path / "c")
+        )
+        ds1 = HumanMLDataset(opt, split="train")
+        ds2 = HumanMLDataset(opt, split="train")  # from cache
+        assert len(ds1) == len(ds2)
+        assert sorted(c.name for c in ds1.clips) == sorted(c.name for c in ds2.clips)
+
+    def test_fixed_len_prefix_mode(self, synthetic_humanml):
+        opt = HumanMLOptions(
+            data_root=synthetic_humanml, use_cache=False,
+            fixed_len=24, context_len=8, pred_len=16, disable_offset_aug=True,
+        )
+        ds = HumanMLDataset(opt, split="train", mode="prefix")
+        s = ds.sample(2, RNG)
+        assert s["motion"].shape == (24, 263)
+        batch = collate_prefix([ds.sample(i, RNG) for i in range(4)], pred_len=16)
+        assert batch["x"].shape == (4, 16, 263)
+        assert batch["prefix"].shape == (4, 8, 263)
+
+    def test_loader_iterates_fixed_shapes(self, synthetic_humanml):
+        it = get_dataset_loader(
+            "humanml", batch_size=4, split="train",
+            data_root=synthetic_humanml, use_cache=False,
+        )
+        gen = iter(it)
+        for _ in range(3):
+            b = next(gen)
+            assert b["x"].shape == (4, 196, 263)
+            assert b["mask"].shape == (4, 196)
+            assert len(b["text"]) == 4
+
+    def test_batch_repeat_fill(self):
+        samples = [
+            {"motion": np.zeros((10, 5), np.float32), "length": 8, "caption": "x",
+             "original_length": 8, "key": "a"},
+        ]
+        b = collate_batch(samples, target_batch_size=3)
+        assert b["x"].shape == (3, 10, 5)
+
+    def test_lengths_to_mask(self):
+        m = lengths_to_mask(np.array([2, 4]), 5)
+        assert m.tolist() == [[True, True, False, False, False],
+                              [True, True, True, True, False]]
+
+
+class TestA2M:
+    @pytest.fixture()
+    def humanact12_dir(self, tmp_path):
+        d = tmp_path / "HumanAct12Poses"
+        d.mkdir()
+        n = 5
+        lengths = [int(RNG.integers(50, 120)) for _ in range(n)]
+        data = {
+            "poses": [RNG.normal(size=(L, 72)).astype(np.float32) for L in lengths],
+            "joints3D": [RNG.normal(size=(L, 24, 3)).astype(np.float32) for L in lengths],
+            "y": list(RNG.integers(0, 12, size=n)),
+        }
+        with open(d / "humanact12poses.pkl", "wb") as f:
+            pickle.dump(data, f)
+        return str(d)
+
+    def test_humanact12_rot6d(self, humanact12_dir):
+        ds = HumanAct12(A2MConfig(num_frames=60), datapath=humanact12_dir)
+        assert ds.num_actions == 12
+        s = ds.sample(0, RNG)
+        assert s["motion"].shape == (60, 25 * 6)  # 24 joints + translation row
+        assert 0 <= s["action"] < 12
+        assert isinstance(s["action_text"], str)
+
+    def test_humanact12_other_reps(self, humanact12_dir):
+        for rep, feat in [("rotvec", 3), ("rotquat", 4), ("rotmat", 9)]:
+            ds = HumanAct12(
+                A2MConfig(num_frames=30, pose_rep=rep), datapath=humanact12_dir
+            )
+            s = ds.sample(1, RNG)
+            assert s["motion"].shape == (30, 25 * feat)
+
+    def test_batch_iterator_action(self, humanact12_dir):
+        ds = HumanAct12(A2MConfig(num_frames=60), datapath=humanact12_dir)
+        it = iter(BatchIterator(ds, batch_size=2, seed=1))
+        b = next(it)
+        assert b["x"].shape == (2, 60, 150)
+        assert b["action"].shape == (2,)
