@@ -171,7 +171,9 @@ class HumanMLDataset:
         mean: Optional[np.ndarray] = None,
         std: Optional[np.ndarray] = None,
         clips: Optional[List[MotionClip]] = None,
+        w_vectorizer=None,
     ):
+        self.w_vectorizer = w_vectorizer
         self.opt = opt
         self.mode = mode
         split_file = os.path.join(opt.data_root, f"{split}.txt")
@@ -246,7 +248,7 @@ class HumanMLDataset:
             tokens = ["sos/OTHER"] + tokens[: opt.max_text_len] + ["eos/OTHER"]
             sent_len = len(tokens)
 
-        return {
+        out = {
             "motion": padded,
             "length": m_length,
             "original_length": original_length or m_length,
@@ -255,3 +257,8 @@ class HumanMLDataset:
             "sent_len": sent_len,
             "key": clip.name,
         }
+        if self.w_vectorizer is not None:
+            embs, pos = zip(*(self.w_vectorizer[t] for t in tokens))
+            out["word_embeddings"] = np.stack(embs)
+            out["pos_one_hots"] = np.stack(pos)
+        return out

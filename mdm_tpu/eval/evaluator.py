@@ -1,0 +1,84 @@
+"""Evaluator wrapper: frozen T2M co-embedding encoders.
+
+Mirror of EvaluatorMDMWrapper (/root/reference/data_loaders/humanml/
+networks/evaluator_wrapper.py:121-186): movement encoder on motion[..., :-4],
+m_lens // unit_length, then motion/text biGRU embeddings. Our masked biGRU
+needs no length-sorting, so embeddings come back in input order.
+
+Weights load from the reference's `finest.tar` checkpoint via torch on host.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .networks import (
+    MotionEncoderBiGRUCo,
+    MovementConvEncoder,
+    TextEncoderBiGRUCo,
+    convert_motion_encoder,
+    convert_movement_encoder,
+    convert_text_encoder,
+)
+
+
+class EvaluatorWrapper:
+    UNIT_LENGTH = 4
+
+    def __init__(
+        self,
+        dataset_name: str = "humanml",
+        checkpoints_dir: str = ".",
+        params: Optional[dict] = None,
+    ):
+        dim_pose = 263 if dataset_name == "humanml" else 251
+        self.movement_enc = MovementConvEncoder(512, 512)
+        self.text_enc = TextEncoderBiGRUCo(300, 15, 512, 512)
+        self.motion_enc = MotionEncoderBiGRUCo(512, 1024, 512)
+        self.dim_pose = dim_pose
+
+        if params is None:
+            ckpt_dir = "t2m" if dataset_name == "humanml" else dataset_name
+            path = os.path.join(checkpoints_dir, ckpt_dir, "text_mot_match", "model", "finest.tar")
+            params = self.load_torch_checkpoint(path)
+        self.params = params
+
+        self._embed_motion = jax.jit(self._embed_motion_impl)
+        self._embed_text = jax.jit(self._embed_text_impl)
+
+    @staticmethod
+    def load_torch_checkpoint(path: str) -> dict:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        to_np = lambda sd: {k: v.detach().cpu().numpy() for k, v in sd.items()}
+        return {
+            "movement": convert_movement_encoder(to_np(ckpt["movement_encoder"])),
+            "text": convert_text_encoder(to_np(ckpt["text_encoder"])),
+            "motion": convert_motion_encoder(to_np(ckpt["motion_encoder"])),
+        }
+
+    def _embed_motion_impl(self, motions, m_lens):
+        movements = self.movement_enc.apply(self.params["movement"], motions[..., :-4])
+        return self.motion_enc.apply(
+            self.params["motion"], movements, m_lens // self.UNIT_LENGTH
+        )
+
+    def _embed_text_impl(self, word_embs, pos_ohot, cap_lens):
+        return self.text_enc.apply(self.params["text"], word_embs, pos_ohot, cap_lens)
+
+    def get_co_embeddings(
+        self, word_embs, pos_ohot, cap_lens, motions, m_lens
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        text_emb = self._embed_text(
+            jnp.asarray(word_embs), jnp.asarray(pos_ohot), jnp.asarray(cap_lens)
+        )
+        motion_emb = self._embed_motion(jnp.asarray(motions), jnp.asarray(m_lens))
+        return np.asarray(text_emb), np.asarray(motion_emb)
+
+    def get_motion_embeddings(self, motions, m_lens) -> np.ndarray:
+        return np.asarray(self._embed_motion(jnp.asarray(motions), jnp.asarray(m_lens)))
