@@ -1,0 +1,99 @@
+"""Editing entry point (inpainting): `python -m mdm_tpu.cli.edit`.
+
+Reference: sample/edit.py. Modes: in_between (temporal mask: keep prefix
+<= prefix_end*len and suffix >= suffix_start*len) and upper_body (keep
+lower-body feature dims). The mask is applied to the x0 prediction inside
+every diffusion step.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import get_dataset_loader
+    from ..models.mdm import Conditioning
+    from ..sampling import (
+        GenerationConfig,
+        MotionGenerator,
+        in_between_mask,
+        upper_body_mask,
+    )
+    from ..sampling.text import make_text_embedder
+    from ..train.checkpoints import find_resume_checkpoint, restore_params_only
+    from ..utils.factory import create_model_and_schedule
+    from ..utils.parser import edit_args
+
+    args = edit_args(argv)
+    max_frames = 196 if args.dataset in ("humanml", "kit") else 60
+
+    data = get_dataset_loader(
+        args.dataset, args.num_samples, num_frames=max_frames, split="test",
+        hml_mode="train", data_root=args.data_dir or None,
+    )
+    batch = next(iter(data))
+    gt = batch["x"][: args.num_samples]
+    lengths = batch["lengths"][: args.num_samples]
+    B, T, D = gt.shape
+
+    model, sched = create_model_and_schedule(args)
+    cond0 = Conditioning(
+        frames_mask=jnp.asarray(batch["mask"][:B]),
+        text_embed=jnp.zeros((B, model.config.text_dim)),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(gt), jnp.zeros((B,), jnp.int32), cond0
+    )
+    ckpt = args.model_path
+    if os.path.isdir(ckpt) and not os.path.basename(ckpt).startswith("ckpt_"):
+        found = find_resume_checkpoint(ckpt)
+        assert found, f"no checkpoint under {ckpt}"
+        ckpt = found[0]
+    if os.path.exists(ckpt):
+        params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
+
+    if args.edit_mode == "in_between":
+        mask = in_between_mask(lengths, T, D, args.prefix_end, args.suffix_start)
+    else:
+        mask = upper_body_mask(T, B)
+
+    # Text conditioning optional; no text => guidance 0 (reference edit.py:71).
+    guidance = args.guidance_param
+    cond = cond0
+    if args.text_condition:
+        embedder = make_text_embedder(args.text_encoder_type)
+        if embedder is not None:
+            cond = cond0.replace(
+                **{k: jnp.asarray(v) for k, v in embedder([args.text_condition] * B).items()}
+            )
+    else:
+        guidance = 0.0
+
+    gen = MotionGenerator(
+        model, params, sched, GenerationConfig(guidance_scale=guidance), args.dataset
+    )
+    feats = gen.sample_features(
+        cond, B, T, jax.random.PRNGKey(args.seed),
+        inpainting_mask=jnp.asarray(mask), inpainted_motion=jnp.asarray(gt),
+    )
+    joints = np.asarray(gen.features_to_joints(feats)) if gen.mean is not None else np.asarray(feats)
+
+    out_dir = args.output_dir or os.path.join(
+        os.path.dirname(args.model_path) or ".", f"edit_{args.edit_mode}_seed{args.seed}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(
+        os.path.join(out_dir, "results.npy"),
+        {"motion": joints, "gt": np.asarray(gt), "mask": mask,
+         "edit_mode": args.edit_mode, "lengths": lengths},
+    )
+    print(f"saved {os.path.join(out_dir, 'results.npy')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""T2M evaluation entry point: `python -m mdm_tpu.cli.eval_humanml`.
+
+Reference: eval/eval_humanml.py. Protocol: batch 32, eval modes
+debug(5 reps)/wo_mm(20)/mm_short(5 + multimodality), frozen evaluator
+encoders, generated-vs-GT metrics, mean +- CI log.
+"""
+from __future__ import annotations
+
+import os
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import BatchIterator, WordVectorizer, get_dataset
+    from ..eval import EvalConfig, EvaluatorWrapper, GeneratedMotionLoader, evaluation
+    from ..sampling import GenerationConfig, MotionGenerator
+    from ..sampling.text import make_text_embedder
+    from ..train.checkpoints import find_resume_checkpoint, restore_params_only
+    from ..utils.factory import create_model_and_schedule
+    from ..utils.parser import evaluation_args
+
+    args = evaluation_args(argv)
+    mode = args.eval_mode
+    replication_times = {"debug": 5, "wo_mm": 20, "mm_short": 5, "full": 20}[mode]
+    run_mm = mode in ("mm_short", "full")
+
+    # Ground-truth loader (evaluator normalization) with GloVe vectorizer.
+    glove_dir = os.path.join(args.data_dir or "dataset", "..", "glove")
+    w_vec = None
+    if os.path.exists(os.path.join(glove_dir, "our_vab_data.npy")):
+        w_vec = WordVectorizer(glove_dir, "our_vab")
+    dataset = get_dataset(
+        args.dataset, split=args.eval_split if hasattr(args, "eval_split") else "test",
+        hml_mode="eval", data_root=args.data_dir or None,
+    )
+    dataset.w_vectorizer = w_vec
+    gt_batches = list(BatchIterator(dataset, 32, shuffle=True, seed=0, infinite=False))
+
+    # Model.
+    model, sched = create_model_and_schedule(args)
+    from ..models.mdm import Conditioning
+
+    B, T, D = 32, 196, model.config.input_feats
+    cond0 = Conditioning(
+        frames_mask=jnp.ones((B, T), bool),
+        text_embed=jnp.zeros((B, model.config.text_dim)),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, T, D)), jnp.zeros((B,), jnp.int32), cond0
+    )
+    ckpt = args.model_path
+    if os.path.isdir(ckpt) and not os.path.basename(ckpt).startswith("ckpt_"):
+        found = find_resume_checkpoint(ckpt)
+        assert found
+        ckpt = found[0]
+    params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
+
+    gen = MotionGenerator(
+        model, params, sched,
+        GenerationConfig(guidance_scale=args.guidance_param,
+                         autoregressive=args.autoregressive),
+        args.dataset,
+    )
+    embedder = make_text_embedder(args.text_encoder_type)
+
+    def text_embedder(texts):
+        if embedder is None:
+            return {"text_embed": np.zeros((len(texts), model.config.text_dim), np.float32)}
+        return embedder(texts)
+
+    eval_wrapper = EvaluatorWrapper(args.dataset, checkpoints_dir=".")
+
+    log_file = os.path.join(
+        os.path.dirname(ckpt),
+        f"eval_{os.path.basename(ckpt)}_{mode}_gscale{args.guidance_param}.log",
+    )
+    summary = evaluation(
+        eval_wrapper,
+        gt_loader_fn=lambda: iter(gt_batches),
+        eval_motion_loader_fns={
+            "vald": lambda rep: GeneratedMotionLoader(
+                gen, gt_batches, text_embedder, seed=rep,
+            )
+        },
+        config=EvalConfig(
+            replication_times=replication_times, run_mm=run_mm, log_file=log_file
+        ),
+    )
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Generation entry point: `python -m mdm_tpu.cli.generate --model_path ...`.
+
+Reference: sample/generate.py. Prompt sources: --text_prompt, --input_text
+file, --action_name/--action_file, --dynamic_text_path (AR per-chunk), or
+dataset test split. Outputs results.npy (+ stick-figure mp4s when matplotlib
+/ffmpeg are available).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def load_prompts(args):
+    if args.text_prompt:
+        return [args.text_prompt] * args.num_samples, False
+    if args.input_text:
+        with open(args.input_text) as f:
+            lines = [line.strip() for line in f if line.strip()]
+        return lines, False
+    if args.dynamic_text_path:
+        with open(args.dynamic_text_path) as f:
+            chunks = [line.strip() for line in f if line.strip()]
+        return [chunks] * args.num_samples, True
+    if args.action_name:
+        return [args.action_name] * args.num_samples, False
+    if args.action_file:
+        with open(args.action_file) as f:
+            return [line.strip() for line in f if line.strip()], False
+    return None, False
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.mdm import Conditioning
+    from ..sampling import GenerationConfig, MotionGenerator
+    from ..sampling.text import make_text_embedder
+    from ..train.checkpoints import find_resume_checkpoint, restore_params_only
+    from ..utils.factory import create_model_and_schedule, create_schedule
+    from ..utils.parser import generate_args
+
+    args = generate_args(argv)
+    fps = 12.5 if args.dataset == "kit" else 20
+    max_frames = 196 if args.dataset in ("humanml", "kit") else 60
+    n_frames = min(max_frames, int(args.motion_length * fps))
+
+    model, _ = create_model_and_schedule(args)
+    sched = create_schedule(args, timestep_respacing=None)
+
+    prompts, dynamic = load_prompts(args)
+    if prompts is None:
+        prompts = ["a person walks forward"] * args.num_samples
+    B = min(len(prompts), args.num_samples) or args.num_samples
+    prompts = prompts[:B]
+
+    # Init + load params.
+    cond0 = Conditioning(
+        frames_mask=jnp.ones((B, n_frames), bool),
+        text_embed=jnp.zeros((B, model.config.text_dim)),
+        prefix=jnp.zeros((B, model.config.context_len, model.config.input_feats))
+        if model.config.is_prefix_comp else None,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, n_frames if not model.config.is_prefix_comp else model.config.pred_len,
+                   model.config.input_feats)),
+        jnp.zeros((B,), jnp.int32),
+        cond0,
+    )
+    ckpt = args.model_path
+    if os.path.isdir(ckpt) and not os.path.basename(ckpt).startswith("ckpt_"):
+        found = find_resume_checkpoint(ckpt)
+        assert found, f"no checkpoint under {ckpt}"
+        ckpt = found[0]
+    if os.path.exists(ckpt):
+        params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
+        print(f"loaded checkpoint {ckpt}")
+    else:
+        print("WARNING: model_path missing; sampling with random weights")
+
+    embedder = make_text_embedder(args.text_encoder_type)
+    if embedder is not None:
+        flat_prompts = [p[0] if isinstance(p, list) else p for p in prompts]
+        embeds = embedder(flat_prompts)
+        cond = cond0.replace(**{k: jnp.asarray(v) for k, v in embeds.items()})
+    else:
+        cond = cond0
+
+    gen = MotionGenerator(
+        model, params, sched,
+        GenerationConfig(
+            guidance_scale=args.guidance_param,
+            autoregressive=args.autoregressive,
+            context_len=model.config.context_len,
+            pred_len=model.config.pred_len,
+        ),
+        args.dataset,
+    )
+
+    all_motions, all_text = [], []
+    key = jax.random.PRNGKey(args.seed)
+    for rep in range(args.num_repetitions):
+        key, sub = jax.random.split(key)
+        out = gen.generate(cond, B, n_frames, sub)
+        joints = np.asarray(out.get("joints", out["features"]))
+        all_motions.append(joints)
+        all_text += [p if isinstance(p, str) else " | ".join(p) for p in prompts]
+
+    out_dir = args.output_dir or os.path.join(
+        os.path.dirname(args.model_path) or ".", f"samples_seed{args.seed}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    npy_path = os.path.join(out_dir, "results.npy")
+    np.save(
+        npy_path,
+        {
+            "motion": np.concatenate(all_motions, axis=0),
+            "text": all_text,
+            "lengths": np.full(B * args.num_repetitions, n_frames),
+            "num_samples": B,
+            "num_repetitions": args.num_repetitions,
+        },
+    )
+    with open(npy_path.replace(".npy", ".txt"), "w") as f:
+        f.write("\n".join(all_text))
+    print(f"saved {npy_path}")
+
+    if os.environ.get("MDM_TPU_NO_RENDER"):
+        return
+    try:
+        from ..visualize.plot_script import plot_3d_motion
+
+        for i in range(min(B, 3)):
+            path = os.path.join(out_dir, f"sample{i:02d}.mp4")
+            plot_3d_motion(path, all_motions[0][i], title=all_text[i],
+                           dataset=args.dataset, fps=fps)
+            print(f"rendered {path}")
+    except Exception as e:
+        print(f"(skipping video render: {e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Training entry point: `python -m mdm_tpu.cli.train --save_dir ...`.
+
+Reference: train/train_mdm.py. Differences are TPU-native: mesh created up
+front (pure DP over all visible chips), the whole optimizer step is one XLA
+program, checkpoints are orbax.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    from ..data import get_dataset_loader
+    from ..models.mdm import Conditioning
+    from ..parallel import make_mesh
+    from ..train import (
+        LoopConfig,
+        OptimConfig,
+        TrainLoop,
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from ..train.platforms import get_platform
+    from ..utils.factory import create_loss_config, create_model_and_schedule
+    from ..utils.parser import train_args
+
+    args = train_args(argv)
+    if os.path.exists(args.save_dir) and os.listdir(args.save_dir) and not args.overwrite:
+        if not any(f.startswith("ckpt_") for f in os.listdir(args.save_dir)):
+            raise FileExistsError(
+                f"save_dir {args.save_dir} exists (use --overwrite or resume)"
+            )
+
+    make_mesh()
+    num_frames = 196 if args.dataset in ("humanml", "kit") else args.num_frames
+    data = get_dataset_loader(
+        args.dataset, args.batch_size, num_frames=num_frames,
+        data_root=args.data_dir or None,
+        fixed_len=args.context_len + args.pred_len,
+        pred_len=args.pred_len,
+    )
+    num_actions = getattr(data.dataset, "num_actions", 1)
+    model, sched = create_model_and_schedule(args, num_actions)
+
+    # Text embedding happens on host once per batch (frozen encoder); attach.
+    text_embedder = None
+    if args.cond_mode == "text":
+        from ..sampling.text import make_text_embedder
+
+        text_embedder = make_text_embedder(args.text_encoder_type)
+        data.text_embedder = text_embedder
+
+    # Init params from one example batch.
+    batch = next(iter(data))
+    cond = batch_to_conditioning(batch, model.config)
+    import jax.numpy as jnp
+
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.asarray(batch["x"]),
+        jnp.zeros((batch["x"].shape[0],), jnp.int32),
+        cond,
+    )["params"]
+    n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+    print(f"model params: {n_params/1e6:.2f}M")
+
+    config = TrainStepConfig(
+        loss=create_loss_config(args),
+        optim=OptimConfig(
+            lr=args.lr, weight_decay=args.weight_decay,
+            adam_beta2=args.adam_beta2, lr_anneal_steps=args.lr_anneal_steps,
+            ema_decay=args.avg_model_beta, use_ema=args.use_ema,
+        ),
+        cond_mask_prob=args.cond_mask_prob,
+    )
+    step = make_train_step(model.apply, sched, config)
+    state = create_train_state(params, config.optim)
+
+    platform = get_platform(args.train_platform_type, args.save_dir)
+    loop = TrainLoop(
+        step,
+        state,
+        wrap_batches(data, model.config),
+        LoopConfig(
+            save_dir=args.save_dir, num_steps=args.num_steps,
+            log_interval=args.log_interval, save_interval=args.save_interval,
+            eval_during_training=args.eval_during_training,
+            gen_during_training=args.gen_during_training,
+        ),
+        args=vars(args),
+        platform=platform,
+        rng_seed=args.seed,
+    )
+    loop.run()
+    platform.close()
+
+
+def batch_to_conditioning(batch, model_config):
+    """Host batch dict -> Conditioning pytree (static shapes)."""
+    import jax.numpy as jnp
+
+    from ..models.mdm import Conditioning
+
+    kw = {}
+    if "text_embed" in batch:
+        kw["text_embed"] = jnp.asarray(batch["text_embed"])
+        if "text_tokens_mask" in batch:
+            kw["text_tokens_mask"] = jnp.asarray(batch["text_tokens_mask"])
+    elif model_config.cond_mode == "text":
+        # no tokenizer assets: zero embedding (smoke/dev mode)
+        kw["text_embed"] = jnp.zeros(
+            (batch["x"].shape[0], model_config.text_dim), jnp.float32
+        )
+    if "action" in batch:
+        kw["action"] = jnp.asarray(batch["action"])
+    if "prefix" in batch:
+        kw["prefix"] = jnp.asarray(batch["prefix"])
+    return Conditioning(frames_mask=jnp.asarray(batch["mask"]), **kw)
+
+
+def wrap_batches(data, model_config):
+    import jax.numpy as jnp
+
+    for batch in data:
+        yield {
+            "x": jnp.asarray(batch["x"]),
+            "mask": jnp.asarray(batch["mask"]),
+            "cond": batch_to_conditioning(batch, model_config),
+        }
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""CLI argument system (reference utils/parser_util.py:1-319).
+
+Same three-tier scheme:
+1. argparse groups (base/diffusion/model/dataset/training/sampling/generate/
+   edit/eval);
+2. a persisted `args.json` written next to checkpoints at training time and
+   *re-loaded over* the model/diffusion/dataset groups by every downstream
+   CLI (parse_and_load_from_model);
+3. derived rules (`apply_rules`): pred_len defaults to context_len,
+   lambda_target_loc > 0 implies multi_target_cond, cond_mask_prob == 0
+   clamps guidance to 1.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+MODEL_GROUPS = ("dataset", "model", "diffusion")
+
+
+def add_base_options(parser):
+    g = parser.add_argument_group("base")
+    g.add_argument("--seed", default=10, type=int)
+    g.add_argument("--batch_size", default=64, type=int)
+    g.add_argument("--device", default=0, type=int, help="device index (TPU chip)")
+    g.add_argument("--train_platform_type", default="NoPlatform", type=str,
+                   choices=["NoPlatform", "Tensorboard", "WandB", "ClearML"])
+
+
+def add_diffusion_options(parser):
+    g = parser.add_argument_group("diffusion")
+    g.add_argument("--noise_schedule", default="cosine", choices=["linear", "cosine"])
+    g.add_argument("--diffusion_steps", default=1000, type=int)
+    g.add_argument("--sigma_small", default=True, type=lambda x: str(x).lower() != "false")
+
+
+def add_model_options(parser):
+    g = parser.add_argument_group("model")
+    g.add_argument("--arch", default="trans_enc", choices=["trans_enc", "trans_dec", "gru"])
+    g.add_argument("--text_encoder_type", default="clip", choices=["clip", "bert"])
+    g.add_argument("--emb_trans_dec", default=False, type=lambda x: str(x).lower() == "true")
+    g.add_argument("--emb_policy", default="add", choices=["add", "cat"])
+    g.add_argument("--layers", default=8, type=int)
+    g.add_argument("--latent_dim", default=512, type=int)
+    g.add_argument("--ff_size", default=1024, type=int)
+    g.add_argument("--num_heads", default=4, type=int)
+    g.add_argument("--cond_mask_prob", default=0.1, type=float)
+    g.add_argument("--mask_frames", action="store_true")
+    g.add_argument("--lambda_rcxyz", default=0.0, type=float)
+    g.add_argument("--lambda_vel", default=0.0, type=float)
+    g.add_argument("--lambda_fc", default=0.0, type=float)
+    g.add_argument("--lambda_target_loc", default=0.0, type=float)
+    g.add_argument("--unconstrained", action="store_true")
+    g.add_argument("--pos_embed_max_len", default=5000, type=int)
+    g.add_argument("--use_ema", default=True, type=lambda x: str(x).lower() != "false")
+    g.add_argument("--multi_target_cond", action="store_true")
+    g.add_argument("--multi_encoder_type", default="multi", choices=["multi", "single", "split"])
+    g.add_argument("--target_enc_layers", default=1, type=int)
+    g.add_argument("--context_len", default=0, type=int)
+    g.add_argument("--pred_len", default=0, type=int)
+    g.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+
+
+def add_data_options(parser):
+    g = parser.add_argument_group("dataset")
+    g.add_argument("--dataset", default="humanml",
+                   choices=["humanml", "kit", "humanact12", "uestc"])
+    g.add_argument("--data_dir", default="", type=str)
+
+
+def add_training_options(parser):
+    g = parser.add_argument_group("training")
+    g.add_argument("--save_dir", required=True, type=str)
+    g.add_argument("--overwrite", action="store_true")
+    g.add_argument("--lr", default=1e-4, type=float)
+    g.add_argument("--weight_decay", default=0.0, type=float)
+    g.add_argument("--adam_beta2", default=0.999, type=float)
+    g.add_argument("--avg_model_beta", default=0.9999, type=float)
+    g.add_argument("--lr_anneal_steps", default=0, type=int)
+    g.add_argument("--log_interval", default=1000, type=int)
+    g.add_argument("--save_interval", default=50000, type=int)
+    g.add_argument("--num_steps", default=600_000, type=int)
+    g.add_argument("--num_frames", default=60, type=int)
+    g.add_argument("--resume_checkpoint", default="", type=str)
+    g.add_argument("--eval_during_training", action="store_true")
+    g.add_argument("--eval_batch_size", default=32, type=int)
+    g.add_argument("--eval_split", default="test", choices=["val", "test"])
+    g.add_argument("--eval_rep_times", default=3, type=int)
+    g.add_argument("--eval_num_samples", default=1000, type=int)
+    g.add_argument("--gen_during_training", action="store_true")
+    g.add_argument("--gen_num_samples", default=3, type=int)
+    g.add_argument("--gen_num_repetitions", default=2, type=int)
+    g.add_argument("--gen_guidance_param", default=2.5, type=float)
+    g.add_argument("--target_joint_names", default="DIMP_FINAL", type=str)
+    g.add_argument("--autoregressive", action="store_true")
+    g.add_argument("--autoregressive_include_prefix", action="store_true")
+
+
+def add_sampling_options(parser):
+    g = parser.add_argument_group("sampling")
+    g.add_argument("--model_path", required=True, type=str)
+    g.add_argument("--output_dir", default="", type=str)
+    g.add_argument("--num_samples", default=10, type=int)
+    g.add_argument("--num_repetitions", default=3, type=int)
+    g.add_argument("--guidance_param", default=2.5, type=float)
+    g.add_argument("--autoregressive", action="store_true")
+    g.add_argument("--autoregressive_include_prefix", action="store_true")
+
+
+def add_generate_options(parser):
+    g = parser.add_argument_group("generate")
+    g.add_argument("--motion_length", default=6.0, type=float)
+    g.add_argument("--input_text", default="", type=str)
+    g.add_argument("--dynamic_text_path", default="", type=str)
+    g.add_argument("--text_prompt", default="", type=str)
+    g.add_argument("--action_file", default="", type=str)
+    g.add_argument("--action_name", default="", type=str)
+    g.add_argument("--target_joint_names", default="", type=str)
+
+
+def add_edit_options(parser):
+    g = parser.add_argument_group("edit")
+    g.add_argument("--edit_mode", default="in_between", choices=["in_between", "upper_body"])
+    g.add_argument("--text_condition", default="", type=str)
+    g.add_argument("--prefix_end", default=0.25, type=float)
+    g.add_argument("--suffix_start", default=0.75, type=float)
+
+
+def add_evaluation_options(parser):
+    g = parser.add_argument_group("eval")
+    g.add_argument("--model_path", required=True, type=str)
+    g.add_argument("--eval_mode", default="wo_mm", choices=["wo_mm", "mm_short", "debug", "full"])
+    g.add_argument("--guidance_param", default=2.5, type=float)
+    g.add_argument("--autoregressive", action="store_true")
+
+
+def get_cond_mode(args) -> str:
+    if getattr(args, "unconstrained", False):
+        return "no_cond"
+    if args.dataset in ("humanml", "kit"):
+        return "text"
+    return "action"
+
+
+def apply_rules(args):
+    """Derived-arg rules (reference parser_util.py:46-54, 22-23)."""
+    if getattr(args, "context_len", 0) > 0 and getattr(args, "pred_len", 0) == 0:
+        args.pred_len = args.context_len
+    if getattr(args, "lambda_target_loc", 0.0) > 0:
+        args.multi_target_cond = True
+    if getattr(args, "cond_mask_prob", 1.0) == 0 and hasattr(args, "guidance_param"):
+        args.guidance_param = 1.0
+    args.cond_mode = get_cond_mode(args)
+    return args
+
+
+def _group_arg_names(parser) -> List[str]:
+    names = []
+    for group in parser._action_groups:
+        if group.title in MODEL_GROUPS:
+            names += [a.dest for a in group._group_actions]
+    return names
+
+
+def load_args_from_model(args, parser, model_path: str):
+    """Overlay model/diffusion/dataset args from the run's args.json."""
+    args_path = os.path.join(os.path.dirname(model_path), "args.json")
+    if not os.path.exists(args_path):
+        return args
+    with open(args_path) as f:
+        saved = json.load(f)
+    for name in _group_arg_names(parser):
+        if name in saved:
+            setattr(args, name, saved[name])
+    return args
+
+
+def _build(groups, argv=None):
+    parser = argparse.ArgumentParser()
+    for g in groups:
+        g(parser)
+    args = parser.parse_args(argv)
+    return parser, args
+
+
+def train_args(argv: Optional[List[str]] = None):
+    _, args = _build(
+        [add_base_options, add_data_options, add_model_options,
+         add_diffusion_options, add_training_options], argv,
+    )
+    return apply_rules(args)
+
+
+def generate_args(argv: Optional[List[str]] = None):
+    parser, args = _build(
+        [add_base_options, add_data_options, add_model_options,
+         add_diffusion_options, add_sampling_options, add_generate_options], argv,
+    )
+    args = load_args_from_model(args, parser, args.model_path)
+    return apply_rules(args)
+
+
+def edit_args(argv: Optional[List[str]] = None):
+    parser, args = _build(
+        [add_base_options, add_data_options, add_model_options,
+         add_diffusion_options, add_sampling_options, add_edit_options], argv,
+    )
+    args = load_args_from_model(args, parser, args.model_path)
+    return apply_rules(args)
+
+
+def evaluation_args(argv: Optional[List[str]] = None):
+    parser, args = _build(
+        [add_base_options, add_data_options, add_model_options,
+         add_diffusion_options, add_evaluation_options], argv,
+    )
+    args = load_args_from_model(args, parser, args.model_path)
+    args.batch_size = 32  # protocol-locked
+    return apply_rules(args)

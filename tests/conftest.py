@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Skip slow matplotlib video rendering inside CLI tests.
+os.environ.setdefault("MDM_TPU_NO_RENDER", "1")
 
 import jax  # noqa: E402
 

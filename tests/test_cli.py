@@ -1,0 +1,104 @@
+"""End-to-end CLI tests: train -> args.json -> generate/edit on synthetic data."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture()
+def synthetic_humanml(tmp_path):
+    rng = np.random.default_rng(1)
+    root = tmp_path / "HumanML3D"
+    (root / "new_joint_vecs").mkdir(parents=True)
+    (root / "texts").mkdir()
+    for i in range(5):
+        name = f"{i:06d}"
+        L = int(rng.integers(45, 190))
+        np.save(root / "new_joint_vecs" / f"{name}.npy",
+                rng.normal(size=(L, 263)).astype(np.float32))
+        (root / "texts" / f"{name}.txt").write_text(
+            "a person walks#a/DET person/NOUN walk/VERB#0.0#0.0\n"
+        )
+    for split in ("train", "test"):
+        (root / f"{split}.txt").write_text("\n".join(f"{i:06d}" for i in range(5)))
+    np.save(root / "Mean.npy", np.zeros(263, np.float32))
+    np.save(root / "Std.npy", np.ones(263, np.float32))
+    return str(root)
+
+
+def test_parser_rules():
+    from mdm_tpu.utils.parser import train_args
+
+    args = train_args(["--save_dir", "/tmp/x", "--context_len", "20",
+                       "--lambda_target_loc", "1.0"])
+    assert args.pred_len == 20  # defaults to context_len
+    assert args.multi_target_cond  # implied by lambda_target_loc
+    assert args.cond_mode == "text"
+
+
+def test_train_then_generate(tmp_path, synthetic_humanml, monkeypatch):
+    from mdm_tpu.cli import generate as gen_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "8", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "4", "--save_interval", "2",
+        "--log_interval", "1", "--use_cache", "false",
+    ] if False else [
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "8", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "4", "--save_interval", "2",
+        "--log_interval", "1",
+    ])
+
+    assert os.path.exists(os.path.join(save_dir, "args.json"))
+    ckpts = [f for f in os.listdir(save_dir) if f.startswith("ckpt_")]
+    assert ckpts, "no checkpoint saved"
+    with open(os.path.join(save_dir, "args.json")) as f:
+        saved = json.load(f)
+    assert saved["latent_dim"] == 32
+
+    # generate: args.json must override model flags (we pass wrong latent_dim)
+    out_dir = str(tmp_path / "samples")
+    gen_cli.main([
+        "--model_path", os.path.join(save_dir, sorted(ckpts)[-1]),
+        "--latent_dim", "512",  # should be overridden back to 32 by args.json
+        "--num_samples", "2", "--num_repetitions", "1",
+        "--motion_length", "1.0", "--output_dir", out_dir, "--seed", "3",
+    ])
+    results = np.load(os.path.join(out_dir, "results.npy"), allow_pickle=True).item()
+    assert results["motion"].shape[0] == 2
+    assert np.isfinite(results["motion"]).all()
+
+
+def test_edit_cli(tmp_path, synthetic_humanml, monkeypatch):
+    from mdm_tpu.cli import edit as edit_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run2")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    out_dir = str(tmp_path / "edit_out")
+    edit_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--data_dir", synthetic_humanml,
+        "--num_samples", "2", "--edit_mode", "in_between",
+        "--output_dir", out_dir, "--seed", "5",
+    ])
+    results = np.load(os.path.join(out_dir, "results.npy"), allow_pickle=True).item()
+    assert results["motion"].shape[0] == 2
