@@ -71,16 +71,29 @@ class MultiHeadAttention(nn.Module):
         split = lambda x: x.reshape(x.shape[0], x.shape[1], H, head_dim)
         q, k, v = split(q), split(k), split(v)
 
-        # [B, H, Sq, Sk]
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(head_dim, dtype=cdt)
-        )
-        if attn_bias is not None:
-            logits = logits + attn_bias.astype(logits.dtype)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(cdt)
-        if self.dropout > 0.0 and not deterministic:
-            weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        from ..ops import pallas_attention_enabled
+
+        if (
+            pallas_attention_enabled()
+            and deterministic  # the fused kernel has no attention dropout
+            and query.shape[1] == key.shape[1]
+        ):
+            from ..ops import fused_attention
+
+            to_bhsd = lambda x: jnp.swapaxes(x, 1, 2)
+            out = fused_attention(to_bhsd(q), to_bhsd(k), to_bhsd(v), attn_bias)
+            out = jnp.swapaxes(out, 1, 2)
+        else:
+            # [B, H, Sq, Sk]
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(head_dim, dtype=cdt)
+            )
+            if attn_bias is not None:
+                logits = logits + attn_bias.astype(logits.dtype)
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(cdt)
+            if self.dropout > 0.0 and not deterministic:
+                weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(out.shape[0], out.shape[1], D)
         return nn.Dense(D, name="out_proj", dtype=cdt)(out)
 

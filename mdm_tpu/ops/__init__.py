@@ -1,0 +1,19 @@
+"""Pallas TPU kernels for hot ops.
+
+`enable_pallas_attention()` flips the model's attention layers to the fused
+VMEM-resident kernel (mdm_tpu.ops.attention); the pure-XLA path remains the
+default and the fallback on non-TPU backends.
+"""
+from . import attention  # noqa: F401
+from .attention import fused_attention, xla_attention  # noqa: F401
+
+_PALLAS_ATTENTION = False
+
+
+def enable_pallas_attention(enabled: bool = True):
+    global _PALLAS_ATTENTION
+    _PALLAS_ATTENTION = enabled
+
+
+def pallas_attention_enabled() -> bool:
+    return _PALLAS_ATTENTION
