@@ -16,7 +16,7 @@ import numpy as np
 def main(argv=None):
     from ..data import get_dataset_loader
     from ..models.mdm import Conditioning
-    from ..parallel import make_mesh
+    from ..parallel import make_mesh_for_batch
     from ..train import (
         LoopConfig,
         OptimConfig,
@@ -36,7 +36,7 @@ def main(argv=None):
                 f"save_dir {args.save_dir} exists (use --overwrite or resume)"
             )
 
-    make_mesh()
+    make_mesh_for_batch(args.batch_size)
     num_frames = 196 if args.dataset in ("humanml", "kit") else args.num_frames
     data = get_dataset_loader(
         args.dataset, args.batch_size, num_frames=num_frames,

@@ -92,7 +92,13 @@ class BatchIterator:
             for start in range(0, len(idx), self.batch_size):
                 chunk = idx[start : start + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
-                    continue
+                    # A dataset smaller than one batch would otherwise yield
+                    # nothing forever; repeat-fill instead (t2m_collate
+                    # semantics) so tiny datasets still train.
+                    if len(idx) >= self.batch_size:
+                        continue
+                    reps = -(-self.batch_size // len(chunk))
+                    chunk = np.tile(chunk, reps)[: self.batch_size]
                 yield self._make_batch(chunk)
             if not self.infinite:
                 return

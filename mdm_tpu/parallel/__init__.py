@@ -2,6 +2,7 @@
 from .mesh import (  # noqa: F401
     get_mesh,
     make_mesh,
+    make_mesh_for_batch,
     replicated,
     shard_batch,
     batch_sharding,

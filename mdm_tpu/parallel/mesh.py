@@ -43,6 +43,15 @@ def make_mesh(
     return _active_mesh
 
 
+def make_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
+    """Mesh whose data axis divides the global batch (avoids ragged shards)."""
+    n = len(jax.devices())
+    dp = n // model_parallel
+    while dp > 1 and batch_size % dp != 0:
+        dp -= 1
+    return make_mesh(n_devices=dp * model_parallel, model_parallel=model_parallel)
+
+
 def get_mesh() -> Mesh:
     global _active_mesh
     if _active_mesh is None:
