@@ -323,7 +323,14 @@ class MDM(nn.Module):
         elif cfg.arch == "gru":
             seq = h + pe[:S][None].astype(cdt)
             seq = nn.Dropout(cfg.dropout)(seq, deterministic=deterministic)
-            out = GRU(cfg.latent_dim, cfg.num_layers, name="gru")(seq)
+            # Reference quirk (mdm.py:96,275): a batch_first GRU is fed the
+            # sequence-major [S, B, d] tensor, so the recurrence actually
+            # runs across the *batch* axis per frame. Checkpoint parity
+            # requires reproducing that exactly.
+            out = GRU(cfg.latent_dim, cfg.num_layers, name="gru")(
+                jnp.swapaxes(seq, 0, 1)
+            )
+            out = jnp.swapaxes(out, 0, 1)
         else:
             raise ValueError(cfg.arch)
 
