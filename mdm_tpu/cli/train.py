@@ -82,6 +82,11 @@ def main(argv=None):
     state = create_train_state(params, config.optim)
 
     platform = get_platform(args.train_platform_type, args.save_dir)
+
+    gen_fn = None
+    if args.gen_during_training:
+        gen_fn = make_gen_during_training(args, model, data, text_embedder)
+
     loop = TrainLoop(
         step,
         state,
@@ -94,10 +99,58 @@ def main(argv=None):
         ),
         args=vars(args),
         platform=platform,
+        gen_fn=gen_fn,
         rng_seed=args.seed,
     )
     loop.run()
     platform.close()
+
+
+def make_gen_during_training(args, model, data, text_embedder):
+    """Render a few samples per checkpoint (reference training_loop.py:366-382)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..diffusion import Schedule
+    from ..models.mdm import Conditioning
+    from ..sampling import GenerationConfig, MotionGenerator
+
+    def gen_fn(state, step):
+        import os
+
+        B = args.gen_num_samples
+        T = 196 if args.dataset in ("humanml", "kit") else args.num_frames
+        sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
+        params = {"params": state.ema_params if state.ema_params is not None else state.params}
+        gen = MotionGenerator(
+            model, params, sched,
+            GenerationConfig(guidance_scale=args.gen_guidance_param), args.dataset,
+        )
+        batch = next(iter(data))
+        texts = batch.get("text", ["sample"] * B)[:B]
+        cond_kw = {"frames_mask": jnp.ones((B, T), bool)}
+        if model.config.cond_mode == "text":
+            if text_embedder is not None:
+                cond_kw.update({k: jnp.asarray(v) for k, v in text_embedder(texts).items()})
+            else:
+                cond_kw["text_embed"] = jnp.zeros((B, model.config.text_dim))
+        elif "action" in batch:
+            cond_kw["action"] = jnp.asarray(batch["action"][:B])
+        out = gen.generate(Conditioning(**cond_kw), B, T, jax.random.PRNGKey(step))
+        if os.environ.get("MDM_TPU_NO_RENDER") or "joints" not in out:
+            return None
+        try:
+            from ..visualize.plot_script import plot_3d_motion
+            import numpy as _np
+
+            path = os.path.join(args.save_dir, f"gen_step{step:09d}.mp4")
+            return plot_3d_motion(path, _np.asarray(out["joints"])[0],
+                                  title=str(texts[0]), dataset=args.dataset)
+        except Exception as e:
+            print(f"gen_during_training render failed: {e}")
+            return None
+
+    return gen_fn
 
 
 def batch_to_conditioning(batch, model_config):

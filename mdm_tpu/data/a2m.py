@@ -173,46 +173,133 @@ class HumanAct12(ActionMotionDataset):
         self._test = list(range(len(self._pose)))
 
 
+def solve_camera_depth(cam_s, cam_pos, joints, img_size=540, flength=500) -> float:
+    """Depth that best maps the orthographic crop camera to perspective
+    (reference uestc.py:14-23)."""
+    target = (cam_s * (joints[:, :2] + cam_pos) + 1) * 0.5 * img_size
+    height3d = np.linalg.norm(joints[:, :2].max(axis=0) - joints[:, :2].min(axis=0))
+    height2d = np.linalg.norm(target.max(axis=0) - target.min(axis=0))
+    return float(flength * (height3d / height2d))
+
+
+def trans_from_vibe(orig_cam: np.ndarray, joints3d: np.ndarray, use_z=True) -> np.ndarray:
+    """Global translation trajectory from VIBE's orig_cam [T, 4] (sx, sy,
+    tx, ty) + joints (reference get_trans_from_vibe, uestc.py:26-49)."""
+    trans = []
+    for t in range(len(joints3d)):
+        cam = orig_cam[t]
+        z = solve_camera_depth(cam[0], cam[2:4], joints3d[t]) if use_z else 0.0
+        trans.append([cam[2], cam[3], z])
+    trans = np.asarray(trans)
+    return trans - trans[0]
+
+
 class UESTC(ActionMotionDataset):
     """UESTC VIBE-estimated poses: 40 actions, 118 subjects (51 train).
 
-    Expects the reference's preprocessed layout under `datapath`:
-    vibe_cache (list of per-video dicts with 'pose'/'joints3D') or the
-    consolidated npz produced by our `prepare` tooling; names encode
-    action/subject/view per the UESTC convention `aA_sS_vV_...`.
+    Mirror of reference uestc.py:50-226: vibe_cache_refined.pkl (pose /
+    joints3d / orig_cam per video), names.txt (`aA_dV_pS_cC_color.avi`),
+    8 views rotated to frontview for side-2 cameras, global translation
+    recovered from the crop camera, num_frames*3/4 min-length filter.
     """
 
     dataname = "uestc"
     NUM_ACTIONS = 40
-    TRAIN_SUBJECTS = 51
+    TRAIN_SUBJECTS = [
+        1, 2, 6, 12, 13, 16, 21, 24, 28, 29, 30, 31, 33, 35, 39, 41, 42, 45,
+        47, 50, 52, 54, 55, 57, 59, 61, 63, 64, 67, 69, 70, 71, 73, 77, 81,
+        84, 86, 87, 88, 90, 91, 93, 96, 99, 102, 103, 104, 107, 108, 112, 113,
+    ]
 
-    def __init__(self, config: A2MConfig, datapath="dataset/uestc", split="train"):
+    @staticmethod
+    def parse_name(video: str):
+        spl = video.split("_")
+        return (int(spl[0][1:]), int(spl[1][1:]), int(spl[2][1:]), int(spl[3][1:]))
+
+    def __init__(self, config: A2MConfig, datapath="dataset/uestc", split="train",
+                 view="all"):
+        import pickle as pkl
+
+        import jax.numpy as jnp
+
         super().__init__(config, split)
-        info_path = os.path.join(datapath, "info", "names.txt")
-        with open(info_path) as f:
-            names = [line.strip() for line in f if line.strip()]
-        blob = np.load(os.path.join(datapath, "vibe_cache.npz"), allow_pickle=True)
-        poses, joints = blob["poses"], blob["joints3D"]
+        with open(os.path.join(datapath, "info", "names.txt")) as f:
+            videos = [line.strip() for line in f if line.strip()]
+        with open(os.path.join(datapath, "info", "num_frames_min.txt")) as f:
+            num_frames_video = np.asarray([int(s) for s in f.read().split()])
+
+        with open(os.path.join(datapath, "vibe_cache_refined.pkl"), "rb") as f:
+            vibe = pkl.load(f)
+        self._pose = [np.asarray(p, np.float32) for p in vibe["pose"]]
+        joints3d = [np.asarray(j, np.float32) for j in vibe["joints3d"]]
+        num_frames_video = np.minimum(
+            num_frames_video, [len(p) for p in self._pose]
+        ).astype(int)
+
+        # View rotation matrices about y (45-degree increments).
+        def rot_for(v):
+            theta = -v * np.pi / 4
+            aa = jnp.asarray([0.0, theta, 0.0])
+            return np.asarray(R.axis_angle_to_matrix(aa))
+
+        rotations = {v: rot_for(v) for v in range(8)}
 
         self.num_actions = self.NUM_ACTIONS
-        self._action_classes = {
-            i: f"action_{i}" for i in range(self.NUM_ACTIONS)
-        }
-        maps_path = os.path.join(datapath, "info", "action_classes.txt")
-        if os.path.exists(maps_path):
-            with open(maps_path) as f:
+        classes_path = os.path.join(datapath, "info", "action_classes.txt")
+        if os.path.exists(classes_path):
+            with open(classes_path) as f:
                 self._action_classes = {
                     i: line.strip() for i, line in enumerate(f) if line.strip()
                 }
+        else:
+            self._action_classes = {i: f"action_{i}" for i in range(self.NUM_ACTIONS)}
 
-        for i, name in enumerate(names):
-            # UESTC naming: aA_dD_pP_cC...  (action, direction, performer, camera)
-            parts = name.split("_")
-            action = int(parts[0].lstrip("a"))
-            subject = int(parts[2].lstrip("p")) if len(parts) > 2 else 0
-            self._pose.append(np.asarray(poses[i], np.float32))
-            self._joints.append(
-                np.asarray(joints[i], np.float32) if joints is not None else None
-            )
+        for index, video in enumerate(videos):
+            action, vview, subject, side = self.parse_name(video)
+            if view == "frontview" and side != 1:
+                continue
+            globtrans = trans_from_vibe(
+                np.asarray(vibe["orig_cam"][index]), joints3d[index]
+            ) if "orig_cam" in vibe else np.zeros((len(joints3d[index]), 3), np.float32)
+            if side != 1:
+                if vview == 8:
+                    continue
+                rot = rotations[vview]
+                import jax.numpy as jnp2
+
+                glob = R.axis_angle_to_matrix(jnp2.asarray(self._pose[index][:, :3]))
+                self._pose[index][:, :3] = np.asarray(
+                    R.matrix_to_axis_angle(jnp2.asarray(rot) @ glob)
+                )
+                joints3d[index] = joints3d[index] @ rot.T
+                globtrans = globtrans @ rot.T
+            joints3d[index] = joints3d[index] + globtrans[:, None]
+
+            self._joints.append(joints3d[index])
             self._actions.append(action)
-            (self._train if subject < self.TRAIN_SUBJECTS else self._test).append(i)
+            if subject in self.TRAIN_SUBJECTS:
+                self._train.append(len(self._joints) - 1)
+            else:
+                self._test.append(len(self._joints) - 1)
+
+        # pose list must align with the joints/actions list we kept
+        kept = len(self._joints)
+        if kept != len(self._pose):
+            # rebuild pose list for kept entries only (frontview filtering)
+            new_pose = []
+            j = 0
+            for index, video in enumerate(videos):
+                action, vview, subject, side = self.parse_name(video)
+                if view == "frontview" and side != 1:
+                    continue
+                if side != 1 and vview == 8:
+                    continue
+                new_pose.append(self._pose[index])
+                j += 1
+            self._pose = new_pose
+
+        # Min-length filter on the train split (reference uestc.py:168-178).
+        if config.num_frames > 0:
+            threshold = config.num_frames * 3 / 4
+            ok = {i for i in range(len(self._pose)) if len(self._pose[i]) >= threshold}
+            self._train = sorted(set(self._train) & ok)
