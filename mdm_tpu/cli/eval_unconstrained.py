@@ -1,0 +1,111 @@
+"""Unconstrained-generation evaluation CLI.
+
+Reference: eval/eval_humanact12_uestc.py --unconstrained path +
+eval/unconstrained/evaluate.py. Generates unconditioned HumanAct12 motions,
+extracts the 15-joint openpose-style subset, runs the modified-STGCN feature
+extractor, and reports FID / KID / precision-recall / diversity against the
+ground-truth feature distribution.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import A2MConfig, BatchIterator, get_dataset
+    from ..eval.harness_a2m import (
+        UNCONSTRAINED_JOINT_SUBSET,
+        evaluate_unconstrained_metrics,
+    )
+    from ..eval.stgcn import STGCN, STGCNConfig, convert_stgcn
+    from ..models.mdm import Conditioning
+    from ..sampling import GenerationConfig, MotionGenerator
+    from ..smpl import Rot2XYZConfig, SMPLModel, rot2xyz
+    from ..train.checkpoints import find_resume_checkpoint, restore_params_only
+    from ..utils.factory import create_model_and_schedule
+    from ..utils.parser import evaluation_args
+
+    args = evaluation_args(argv)
+    args.unconstrained = True
+    args.cond_mode = "no_cond"
+    num_frames = 60
+    dataset = get_dataset("humanact12", num_frames=num_frames,
+                          data_root=args.data_dir or None)
+
+    model, sched = create_model_and_schedule(args, dataset.num_actions)
+    B = args.batch_size
+    D = model.config.input_feats
+    cond0 = Conditioning(frames_mask=jnp.ones((B, num_frames), bool))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, num_frames, D)),
+        jnp.zeros((B,), jnp.int32), cond0,
+    )
+    ckpt = args.model_path
+    if os.path.isdir(ckpt) and not os.path.basename(ckpt).startswith("ckpt_"):
+        found = find_resume_checkpoint(ckpt)
+        assert found
+        ckpt = found[0]
+    params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
+
+    gen = MotionGenerator(
+        model, params, sched, GenerationConfig(guidance_scale=1.0), "humanact12"
+    )
+
+    smpl = SMPLModel.load()
+    r2x_cfg = Rot2XYZConfig(jointstype="smpl", vertstrans=True)
+    get_xyz = jax.jit(lambda feats: rot2xyz(
+        smpl, feats.reshape(feats.shape[0], feats.shape[1], 25, 6), r2x_cfg))
+
+    # STGCN feature extractor (modified-structure checkpoint, frozen).
+    stg_cfg = STGCNConfig(in_channels=3, num_class=12, layout="openpose",
+                          edge_importance=True)
+    stgcn = STGCN(stg_cfg)
+    clf_path = os.path.join("assets", "actionrecognition",
+                            "humanact12_gru_modi_struct.pth.tar")
+    if os.path.exists(clf_path):
+        import torch
+
+        sd = torch.load(clf_path, map_location="cpu", weights_only=False)
+        sd = sd.get("model", sd)
+        stg_params = convert_stgcn({k: v.numpy() for k, v in sd.items()}, stg_cfg)
+    else:
+        print(f"WARNING: {clf_path} missing; random STGCN features")
+        stg_params = stgcn.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 15, 3))
+        )
+    run_stgcn = jax.jit(lambda x: stgcn.apply(stg_params, x)["features"])
+
+    def features_for(motions_xyz):
+        # [B, T, 24, 3] -> openpose-15 subset, root-centered
+        sub = motions_xyz[:, :, UNCONSTRAINED_JOINT_SUBSET]
+        sub = sub - sub[:, :1, 8:9]  # center on mid-hip of first frame
+        return np.asarray(run_stgcn(jnp.asarray(sub)))
+
+    gt_feats, gen_feats = [], []
+    key = jax.random.PRNGKey(args.seed)
+    for batch in BatchIterator(dataset, B, seed=0, infinite=False):
+        gt_xyz = np.asarray(get_xyz(jnp.asarray(batch["x"])))
+        gt_feats.append(features_for(gt_xyz))
+        key, sub = jax.random.split(key)
+        feats = gen.sample_features(cond0, B, num_frames, sub)
+        gen_xyz = np.asarray(get_xyz(feats))
+        gen_feats.append(features_for(gen_xyz))
+
+    metrics = evaluate_unconstrained_metrics(
+        np.concatenate(gen_feats), np.concatenate(gt_feats),
+        fast=(args.eval_mode == "debug"),
+    )
+    out_path = os.path.join(os.path.dirname(ckpt), "eval_unconstrained.json")
+    with open(out_path, "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics, indent=2))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
