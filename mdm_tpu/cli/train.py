@@ -55,8 +55,24 @@ def main(argv=None):
         text_embedder = make_text_embedder(args.text_encoder_type)
         data.text_embedder = text_embedder
 
+    target_loss_builder = None
+    goal_modifier = None
+    if getattr(args, "lambda_target_loc", 0.0) > 0 and args.dataset == "humanml":
+        from ..train.goal_cond import goal_cond_modifier, make_target_loss_builder
+
+        mean, std = data.dataset.mean, data.dataset.std
+        target_loss_builder = make_target_loss_builder(mean, std)
+        goal_rng = np.random.default_rng(args.seed + 1)
+
+        def goal_modifier(b):
+            return goal_cond_modifier(
+                b, goal_rng, mean, std, force_joints=args.target_joint_names or None
+            )
+
     # Init params from one example batch.
     batch = next(iter(data))
+    if goal_modifier is not None:
+        batch = goal_modifier(batch)
     cond = batch_to_conditioning(batch, model.config)
     import jax.numpy as jnp
 
@@ -78,7 +94,10 @@ def main(argv=None):
         ),
         cond_mask_prob=args.cond_mask_prob,
     )
-    step = make_train_step(model.apply, sched, config)
+
+    step = make_train_step(
+        model.apply, sched, config, target_loss_builder=target_loss_builder
+    )
     state = create_train_state(params, config.optim)
 
     platform = get_platform(args.train_platform_type, args.save_dir)
@@ -90,7 +109,7 @@ def main(argv=None):
     loop = TrainLoop(
         step,
         state,
-        wrap_batches(data, model.config),
+        wrap_batches(data, model.config, goal_modifier),
         LoopConfig(
             save_dir=args.save_dir, num_steps=args.num_steps,
             log_interval=args.log_interval, save_interval=args.save_interval,
@@ -173,13 +192,18 @@ def batch_to_conditioning(batch, model_config):
         kw["action"] = jnp.asarray(batch["action"])
     if "prefix" in batch:
         kw["prefix"] = jnp.asarray(batch["prefix"])
+    if "target_cond" in batch:
+        kw["target_cond"] = jnp.asarray(batch["target_cond"])
+        kw["target_validity"] = jnp.asarray(batch["target_validity"])
     return Conditioning(frames_mask=jnp.asarray(batch["mask"]), **kw)
 
 
-def wrap_batches(data, model_config):
+def wrap_batches(data, model_config, goal_modifier=None):
     import jax.numpy as jnp
 
     for batch in data:
+        if goal_modifier is not None:
+            batch = goal_modifier(batch)
         yield {
             "x": jnp.asarray(batch["x"]),
             "mask": jnp.asarray(batch["mask"]),

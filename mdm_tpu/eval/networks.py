@@ -130,6 +130,36 @@ class MotionEncoderBiGRUCo(nn.Module):
         return OutputNet(self.hidden_size, self.output_size, name="output_net")(h)
 
 
+class MotionLenEstimatorBiGRU(nn.Module):
+    """Sentence -> motion-length distribution (reference modules.py:389+).
+
+    Used by the T2M pipeline to sample generation lengths from text.
+    Output is logits over length buckets (units of unit_length frames).
+    """
+
+    word_size: int = 300
+    pos_size: int = 15
+    hidden_size: int = 512
+    output_size: int = 50  # length buckets
+    nd: int = 512
+
+    @nn.compact
+    def __call__(self, word_embs, pos_onehot, cap_lens):
+        pos = nn.Dense(self.word_size, name="pos_emb")(pos_onehot)
+        inputs = nn.Dense(self.hidden_size, name="input_emb")(word_embs + pos)
+        h = _BiGRUCore(self.hidden_size, name="gru")(inputs, cap_lens)
+        h = nn.Dense(self.nd, name="fc1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(h)
+        h = leaky_relu(h)
+        h = nn.Dense(self.nd // 2, name="fc2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(h)
+        h = leaky_relu(h)
+        h = nn.Dense(self.nd // 4, name="fc3")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln3")(h)
+        h = leaky_relu(h)
+        return nn.Dense(self.output_size, name="out")(h)
+
+
 # ---------------------------------------------------------------------------
 # Torch -> Flax converters
 # ---------------------------------------------------------------------------
@@ -197,5 +227,20 @@ def convert_motion_encoder(sd: Mapping) -> Dict:
             "input_emb": _lin(sd, "input_emb"),
             "gru": _bigru(sd, "gru"),
             "output_net": _output_net(sd, "output_net"),
+        }
+    }
+
+
+def convert_len_estimator(sd: Mapping) -> Dict:
+    ln = lambda p: {"scale": np.asarray(sd[f"{p}.weight"]), "bias": np.asarray(sd[f"{p}.bias"])}
+    return {
+        "params": {
+            "pos_emb": _lin(sd, "pos_emb"),
+            "input_emb": _lin(sd, "input_emb"),
+            "gru": _bigru(sd, "gru"),
+            "fc1": _lin(sd, "output.0"), "ln1": ln("output.1"),
+            "fc2": _lin(sd, "output.3"), "ln2": ln("output.4"),
+            "fc3": _lin(sd, "output.6"), "ln3": ln("output.7"),
+            "out": _lin(sd, "output.9"),
         }
     }

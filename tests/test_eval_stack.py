@@ -170,3 +170,30 @@ class TestMetrics:
         p_far, r_far = M.precision_and_recall(far, real)
         assert p_close > 0.9 and r_close > 0.9
         assert p_far < 0.1 and r_far < 0.1
+
+
+class TestLenEstimator:
+    def test_len_estimator_parity(self, ref_modules):
+        import torch
+        from mdm_tpu.eval.networks import (
+            MotionLenEstimatorBiGRU,
+            convert_len_estimator,
+        )
+
+        torch.manual_seed(5)
+        ref = ref_modules.MotionLenEstimatorBiGRU(30, 15, 24, 10).eval()
+        params = convert_len_estimator(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        )
+        B, L = 3, 6
+        w = RNG.normal(size=(B, L, 30)).astype(np.float32)
+        p = np.eye(15, dtype=np.float32)[RNG.integers(0, 15, size=(B, L))]
+        lens = np.array([6, 4, 2])
+        with torch.no_grad():
+            theirs = ref(
+                torch.from_numpy(w), torch.from_numpy(p), torch.from_numpy(lens)
+            ).numpy()
+        ours = MotionLenEstimatorBiGRU(30, 15, 24, 10).apply(
+            params, jnp.asarray(w), jnp.asarray(p), jnp.asarray(lens)
+        )
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=3e-5)
