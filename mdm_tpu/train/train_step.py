@@ -50,6 +50,7 @@ def make_train_step(
     get_xyz: Optional[Callable] = None,
     target_loss_builder: Optional[Callable] = None,
     use_shardings: bool = True,
+    state_shardings: Optional[Any] = None,
 ):
     """Build the jitted train step.
 
@@ -116,9 +117,12 @@ def make_train_step(
     mesh = get_mesh()
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    # With tensor-parallel state shardings, params/opt/ema stay sharded over
+    # the 'model' axis across steps; XLA inserts the TP collectives.
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step,
         donate_argnums=(0,),
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
     )
