@@ -71,9 +71,13 @@ def _step_noise(key, x, const_noise: bool):
 
 def _p_mean_variance_step(
     sched, model_fn, cond_fn, cfg: SamplerConfig, x, t,
-    inpainting_mask, inpainted_motion,
-) -> G.PMeanVariance:
-    model_out = model_fn(x, sched.model_timesteps(t))
+    inpainting_mask, inpainted_motion, model_state=None,
+):
+    """Returns PMeanVariance (stateless) or (PMeanVariance, new_model_state)."""
+    if model_state is not None:
+        model_out, model_state = model_fn(x, sched.model_timesteps(t), model_state)
+    else:
+        model_out = model_fn(x, sched.model_timesteps(t))
     out = G.p_mean_variance(
         sched, model_out, x, t,
         mean_type=cfg.mean_type, var_type=cfg.var_type,
@@ -82,6 +86,8 @@ def _p_mean_variance_step(
     )
     if cond_fn is not None and cfg.guidance_mode == "score":
         out = G.condition_score(sched, cond_fn(x, sched.model_timesteps(t)), out, x, t)
+    if model_state is not None:
+        return out, model_state
     return out
 
 
@@ -97,30 +103,35 @@ def p_sample_loop(
     inpainting_mask: Optional[jnp.ndarray] = None,
     inpainted_motion: Optional[jnp.ndarray] = None,
     dump_steps: Optional[Sequence[int]] = None,
+    model_state=None,
 ):
     """Ancestral sampling. Returns final x, or stacked dumps if requested.
 
     `dump_steps` indexes into the step sequence (0 = first/most-noised).
+    `model_state`: optional carry for stateful model_fns (e.g. cached-CFG);
+    signature becomes model_fn(x, t, state) -> (out, state).
     """
     B = noise.shape[0]
     x, indices = _init_state(sched, noise, init_image, config.skip_timesteps)
 
     def step(carry, i):
-        x, key = carry
+        x, key, mstate = carry
         key, nk = jax.random.split(key)
         t = jnp.full((B,), i, dtype=jnp.int32)
-        out = _p_mean_variance_step(
-            sched, model_fn, cond_fn, config, x, t, inpainting_mask, inpainted_motion
+        res = _p_mean_variance_step(
+            sched, model_fn, cond_fn, config, x, t, inpainting_mask,
+            inpainted_motion, mstate,
         )
+        out, mstate = res if mstate is not None else (res, mstate)
         mean = out.mean
         if cond_fn is not None and config.guidance_mode == "mean":
             mean = G.condition_mean(cond_fn(x, sched.model_timesteps(t)), out)
         noise_step = _step_noise(nk, x, config.const_noise)
         nonzero = (i != 0).astype(x.dtype)
         x_next = mean + nonzero * jnp.exp(0.5 * out.log_variance) * noise_step
-        return (x_next, key), (x_next if dump_steps is not None else None)
+        return (x_next, key, mstate), (x_next if dump_steps is not None else None)
 
-    (x_final, _), dumps = jax.lax.scan(step, (x, key), indices)
+    (x_final, _, _), dumps = jax.lax.scan(step, (x, key, model_state), indices)
     if dump_steps is not None:
         return jnp.stack([dumps[i] for i in dump_steps])
     return x_final
@@ -137,6 +148,7 @@ def ddim_sample_loop(
     cond_fn: Optional[CondFn] = None,
     inpainting_mask: Optional[jnp.ndarray] = None,
     inpainted_motion: Optional[jnp.ndarray] = None,
+    model_state=None,
 ):
     """DDIM sampling (eta=0 deterministic)."""
     B = noise.shape[0]
@@ -144,12 +156,14 @@ def ddim_sample_loop(
     x, indices = _init_state(sched, noise, init_image, config.skip_timesteps)
 
     def step(carry, i):
-        x, key = carry
+        x, key, mstate = carry
         key, nk = jax.random.split(key)
         t = jnp.full((B,), i, dtype=jnp.int32)
-        out = _p_mean_variance_step(
-            sched, model_fn, cond_fn, config, x, t, inpainting_mask, inpainted_motion
+        res = _p_mean_variance_step(
+            sched, model_fn, cond_fn, config, x, t, inpainting_mask,
+            inpainted_motion, mstate,
         )
+        out, mstate = res if mstate is not None else (res, mstate)
         eps = G.predict_eps_from_xstart(sched, x, t, out.pred_xstart)
         alpha_bar = G.extract(sched.alphas_cumprod, t, nd)
         alpha_bar_prev = G.extract(sched.alphas_cumprod_prev, t, nd)
@@ -164,9 +178,9 @@ def ddim_sample_loop(
         )
         nonzero = (i != 0).astype(x.dtype)
         x_next = mean_pred + nonzero * sigma * jax.random.normal(nk, x.shape, x.dtype)
-        return (x_next, key), None
+        return (x_next, key, mstate), None
 
-    (x_final, _), _ = jax.lax.scan(step, (x, key), indices)
+    (x_final, _, _), _ = jax.lax.scan(step, (x, key, model_state), indices)
     return x_final
 
 

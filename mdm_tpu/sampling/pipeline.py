@@ -43,6 +43,9 @@ class GenerationConfig:
     context_len: int = 20
     pred_len: int = 40
     autoregressive_include_prefix: bool = False
+    # >1 enables cached-CFG: recompute the uncond branch every k steps and
+    # reuse it otherwise (1 + 1/k forwards per step instead of 2). 0/1 = exact.
+    cfg_cache_interval: int = 0
 
 
 class MotionGenerator:
@@ -73,19 +76,34 @@ class MotionGenerator:
         scfg = SamplerConfig(clip_denoised=self.config.clip_denoised)
 
         def _raw_sample(params, cond, noise, key, inpainting_mask, inpainted_motion):
+            model_state = None
             if self.config.guidance_scale != 1.0:
-                base = cfg_denoiser(
-                    lambda p, x, t, c: self.model.apply(p, x, t, c),
-                    params,
-                    self.config.guidance_scale,
-                )
-                model_fn = lambda x, t: base(x, t, cond)
+                if self.config.cfg_cache_interval > 1 and self.config.sampler in ("ddpm", "ddim"):
+                    from ..models.mdm import cfg_denoiser_cached
+
+                    cached, init_state = cfg_denoiser_cached(
+                        lambda p, x, t, c: self.model.apply(p, x, t, c),
+                        params,
+                        self.config.guidance_scale,
+                        self.config.cfg_cache_interval,
+                    )
+                    model_fn = lambda x, t, s: cached(x, t, cond, s)
+                    model_state = init_state(noise.shape, noise.dtype)
+                else:
+                    base = cfg_denoiser(
+                        lambda p, x, t, c: self.model.apply(p, x, t, c),
+                        params,
+                        self.config.guidance_scale,
+                    )
+                    model_fn = lambda x, t: base(x, t, cond)
             else:
                 model_fn = lambda x, t: self.model.apply(params, x, t, cond)
-            return sampler(
-                model_fn, self.sched, noise, key, scfg,
-                inpainting_mask=inpainting_mask, inpainted_motion=inpainted_motion,
+            kwargs = dict(
+                inpainting_mask=inpainting_mask, inpainted_motion=inpainted_motion
             )
+            if model_state is not None:
+                kwargs["model_state"] = model_state
+            return sampler(model_fn, self.sched, noise, key, scfg, **kwargs)
 
         self._sample_jit = jax.jit(_raw_sample)
 
