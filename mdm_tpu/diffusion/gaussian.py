@@ -238,3 +238,44 @@ def prior_bpd(sched: Schedule, x_start):
     mean, _, log_variance = q_mean_variance(sched, x_start, t)
     kl = normal_kl(mean, log_variance, jnp.zeros_like(mean), jnp.zeros_like(mean))
     return mean_flat(kl) / np.log(2.0)
+
+
+def calc_bpd_loop(
+    model_fn, sched: Schedule, x_start, key, *, mean_type, var_type,
+    clip_denoised=False,
+):
+    """Full bits-per-dim evaluation over all timesteps as ONE lax.scan
+    (reference calc_bpd_loop, gaussian_diffusion.py:1544-1600: a reversed
+    python loop with per-step host syncs).
+
+    Returns dict(total_bpd [B], prior_bpd [B], vb [B, T], xstart_mse [B, T],
+    mse [B, T]).
+    """
+    B = x_start.shape[0]
+
+    def step(key, t_scalar):
+        key, nk = jax.random.split(key)
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        noise = jax.random.normal(nk, x_start.shape, x_start.dtype)
+        x_t = q_sample(sched, x_start, t, noise)
+        model_out = model_fn(x_t, sched.model_timesteps(t))
+        vb, pred_xstart = vb_terms_bpd(
+            sched, model_out, x_start, x_t, t, mean_type=mean_type,
+            var_type=var_type, clip_denoised=clip_denoised,
+        )
+        xstart_mse = mean_flat((pred_xstart - x_start) ** 2)
+        eps = predict_eps_from_xstart(sched, x_t, t, pred_xstart)
+        mse = mean_flat((eps - noise) ** 2)
+        return key, (vb, xstart_mse, mse)
+
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(step, key, ts)
+    vb = vb.T  # [B, T] (reversed-t order, like the reference's append loop)
+    prior = prior_bpd(sched, x_start)
+    return {
+        "total_bpd": vb.sum(axis=1) + prior,
+        "prior_bpd": prior,
+        "vb": vb,
+        "xstart_mse": xstart_mse.T,
+        "mse": mse.T,
+    }

@@ -177,12 +177,16 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: Callable = gelu_exact
     compute_dtype: Optional[Dtype] = None
+    remat: bool = False  # jax.checkpoint each layer (memory <-> flops)
 
     @nn.compact
     def __call__(self, x, padding_mask=None, deterministic: bool = True):
         bias = key_padding_bias(padding_mask)
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.d_model, self.num_heads, self.ff_size, self.dropout,
                 self.activation, self.compute_dtype, name=f"layers_{i}",
             )(x, bias, deterministic)
@@ -197,6 +201,7 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     activation: Callable = gelu_exact
     compute_dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -205,8 +210,11 @@ class TransformerDecoder(nn.Module):
     ):
         tgt_bias = key_padding_bias(tgt_padding_mask)
         mem_bias = key_padding_bias(memory_padding_mask)
+        layer_cls = TransformerDecoderLayer
+        if self.remat:
+            layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(5,))
         for i in range(self.num_layers):
-            tgt = TransformerDecoderLayer(
+            tgt = layer_cls(
                 self.d_model, self.num_heads, self.ff_size, self.dropout,
                 self.activation, self.compute_dtype, name=f"layers_{i}",
             )(tgt, memory, tgt_bias, mem_bias, deterministic)

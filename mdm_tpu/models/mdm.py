@@ -63,6 +63,7 @@ class MDMConfig:
     target_enc_layers: int = 1
     num_goal_joints: int = 6  # pelvis + 5 end effectors (humanml)
     compute_dtype: str = "float32"
+    remat: bool = False  # rematerialize transformer layers (train memory saver)
 
     @property
     def input_feats(self) -> int:
@@ -303,7 +304,8 @@ class MDM(nn.Module):
                 )
             out = TransformerEncoder(
                 cfg.latent_dim, cfg.num_heads, cfg.ff_size, cfg.num_layers,
-                cfg.dropout, compute_dtype=cdt, name="seqTransEncoder",
+                cfg.dropout, compute_dtype=cdt, remat=cfg.remat,
+                name="seqTransEncoder",
             )(seq, pad_mask, deterministic)[:, n_emb:]
         elif cfg.arch == "trans_dec":
             if cfg.emb_trans_dec:
@@ -316,7 +318,8 @@ class MDM(nn.Module):
             seq = nn.Dropout(cfg.dropout)(seq, deterministic=deterministic)
             out = TransformerDecoder(
                 cfg.latent_dim, cfg.num_heads, cfg.ff_size, cfg.num_layers,
-                cfg.dropout, compute_dtype=cdt, name="seqTransDecoder",
+                cfg.dropout, compute_dtype=cdt, remat=cfg.remat,
+                name="seqTransDecoder",
             )(seq, emb_tokens.astype(cdt), pad_mask, memory_mask, deterministic)
             if cfg.emb_trans_dec:
                 out = out[:, 1:]

@@ -394,3 +394,24 @@ class TestLosses:
         np.testing.assert_allclose(
             np.asarray(terms["rot_mse"]), ref_terms["rot_mse"].numpy(), rtol=1e-4
         )
+
+
+class TestBpdLoop:
+    def test_calc_bpd_loop(self):
+        betas = named_beta_schedule("cosine", 12)
+        sched = Schedule.from_betas(betas)
+        B, T, D = 2, 6, 4
+        x0 = RNG.normal(size=(B, T, D)).astype(np.float32)
+        model = _RefDeterministicModel((B, T, D))
+        out = G.calc_bpd_loop(
+            model.jax_fn, sched, jnp.asarray(x0), jax.random.PRNGKey(0),
+            mean_type=MeanType.START_X, var_type=VarType.FIXED_SMALL,
+        )
+        assert out["vb"].shape == (B, 12)
+        assert out["total_bpd"].shape == (B,)
+        assert np.isfinite(np.asarray(out["total_bpd"])).all()
+        np.testing.assert_allclose(
+            np.asarray(out["total_bpd"]),
+            np.asarray(out["vb"]).sum(axis=1) + np.asarray(out["prior_bpd"]),
+            rtol=1e-5,
+        )

@@ -245,3 +245,23 @@ class TestMDMApi:
         assert jnp.isfinite(loss(params))
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TestRemat:
+    def test_remat_matches_baseline(self):
+        """Rematerialized layers give identical outputs and gradients."""
+        cfg_kwargs = dict()
+        model, params, x, t, cond = make_mdm()
+        from mdm_tpu.models import MDM, MDMConfig
+        import dataclasses
+        model_r = MDM(dataclasses.replace(model.config, remat=True))
+        out = model.apply(params, x, t, cond)
+        out_r = model_r.apply(params, x, t, cond)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+
+        g = jax.grad(lambda p: jnp.sum(model.apply(p, x, t, cond) ** 2))(params)
+        g_r = jax.grad(lambda p: jnp.sum(model_r.apply(p, x, t, cond) ** 2))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+            g, g_r,
+        )
