@@ -51,17 +51,42 @@ def main(argv=None):
     sched = create_schedule(args, timestep_respacing=None)
 
     prompts, dynamic = load_prompts(args)
+    dataset_prefix = None
     if prompts is None:
-        prompts = ["a person walks forward"] * args.num_samples
+        # Prompt source of last resort: the dataset's test split
+        # (reference generate.py uses hml_mode='text_only'; 'train' for AR
+        # prefix sampling).
+        try:
+            from ..data import get_dataset_loader
+
+            loader = get_dataset_loader(
+                args.dataset, args.num_samples, num_frames=max_frames,
+                split="test", hml_mode="train", data_root=args.data_dir or None,
+                fixed_len=(model.config.context_len + model.config.pred_len)
+                if args.autoregressive else 0,
+                pred_len=model.config.pred_len if args.autoregressive else 0,
+            )
+            batch = next(iter(loader))
+            prompts = list(batch.get("text", []))[: args.num_samples]
+            if args.autoregressive and "prefix" in batch:
+                dataset_prefix = batch["prefix"][: args.num_samples]
+        except Exception as e:
+            print(f"(dataset prompts unavailable: {e})")
+            prompts = ["a person walks forward"] * args.num_samples
     B = min(len(prompts), args.num_samples) or args.num_samples
     prompts = prompts[:B]
 
     # Init + load params.
+    prefix0 = None
+    if model.config.is_prefix_comp:
+        if dataset_prefix is not None:
+            prefix0 = jnp.asarray(dataset_prefix)
+        else:
+            prefix0 = jnp.zeros((B, model.config.context_len, model.config.input_feats))
     cond0 = Conditioning(
         frames_mask=jnp.ones((B, n_frames), bool),
         text_embed=jnp.zeros((B, model.config.text_dim)),
-        prefix=jnp.zeros((B, model.config.context_len, model.config.input_feats))
-        if model.config.is_prefix_comp else None,
+        prefix=prefix0,
     )
     params = model.init(
         jax.random.PRNGKey(0),
