@@ -105,6 +105,9 @@ def main(argv=None):
     gen_fn = None
     if args.gen_during_training:
         gen_fn = make_gen_during_training(args, model, data, text_embedder)
+    eval_fn = None
+    if args.eval_during_training and args.dataset in ("humanml", "kit"):
+        eval_fn = make_eval_during_training(args, model, text_embedder)
 
     loop = TrainLoop(
         step,
@@ -119,10 +122,83 @@ def main(argv=None):
         args=vars(args),
         platform=platform,
         gen_fn=gen_fn,
+        eval_fn=eval_fn,
         rng_seed=args.seed,
     )
     loop.run()
     platform.close()
+
+
+def make_eval_during_training(args, model, text_embedder):
+    """Short t2m eval pass per checkpoint (reference training_loop.py:252-289).
+
+    Requires the frozen evaluator checkpoint (t2m/text_mot_match/model/
+    finest.tar); degrades to a no-op with a warning when the asset is absent.
+    """
+    import os
+
+    ckpt = os.path.join(
+        "t2m" if args.dataset == "humanml" else args.dataset,
+        "text_mot_match", "model", "finest.tar",
+    )
+    if not os.path.exists(ckpt):
+        print(f"eval_during_training: evaluator checkpoint {ckpt} missing; skipping")
+        return None
+
+    def eval_fn(state, step):
+        import jax
+        import numpy as np
+
+        from ..data import BatchIterator, WordVectorizer, get_dataset
+        from ..diffusion import Schedule
+        from ..eval import EvalConfig, EvaluatorWrapper, GeneratedMotionLoader, evaluation
+        from ..sampling import GenerationConfig, MotionGenerator
+
+        glove_dir = "glove"
+        w_vec = None
+        if os.path.exists(os.path.join(glove_dir, "our_vab_data.npy")):
+            w_vec = WordVectorizer(glove_dir, "our_vab")
+        dataset = get_dataset(
+            args.dataset, split=args.eval_split, hml_mode="eval",
+            data_root=args.data_dir or None,
+        )
+        dataset.w_vectorizer = w_vec
+        gt_batches = []
+        it = BatchIterator(dataset, args.eval_batch_size, seed=0, infinite=False)
+        for i, b in enumerate(it):
+            if (i + 1) * args.eval_batch_size > args.eval_num_samples:
+                break
+            gt_batches.append(b)
+
+        sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
+        params = {"params": state.ema_params if state.ema_params is not None else state.params}
+        gen = MotionGenerator(
+            model, params, sched,
+            GenerationConfig(guidance_scale=args.gen_guidance_param), args.dataset,
+        )
+
+        def embed(texts):
+            if text_embedder is None:
+                return {"text_embed": np.zeros((len(texts), model.config.text_dim), np.float32)}
+            return text_embedder(texts)
+
+        wrapper = EvaluatorWrapper(args.dataset, checkpoints_dir=".")
+        summary = evaluation(
+            wrapper,
+            gt_loader_fn=lambda: iter(gt_batches),
+            eval_motion_loader_fns={
+                "vald": lambda rep: GeneratedMotionLoader(gen, gt_batches, embed, seed=rep)
+            },
+            config=EvalConfig(replication_times=args.eval_rep_times),
+        )
+        flat = {}
+        for metric, d in summary.items():
+            for name, v in d.items():
+                mean = np.asarray(v["mean"]).ravel()
+                flat[f"{metric}_{name}"] = float(mean[0]) if mean.size else float("nan")
+        return flat
+
+    return eval_fn
 
 
 def make_gen_during_training(args, model, data, text_embedder):
