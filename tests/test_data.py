@@ -143,3 +143,35 @@ class TestA2M:
         b = next(it)
         assert b["x"].shape == (2, 60, 150)
         assert b["action"].shape == (2,)
+
+
+class TestRawText:
+    def test_process_raw_text_tokens(self):
+        from mdm_tpu.data.raw_text import process_raw_text
+
+        tokens, sent_len = process_raw_text("a person walks forward and jumps")
+        assert tokens[0] == "sos/OTHER"
+        assert tokens[sent_len - 1] == "eos/OTHER"
+        assert len(tokens) == 22
+        body = tokens[1 : sent_len - 1]
+        # action verbs present with VERB-ish tagging path
+        assert any(t.startswith("walks/") or t.startswith("walk/") for t in body)
+        assert any(t.startswith("a/DET") for t in body)
+
+    def test_truncation(self):
+        from mdm_tpu.data.raw_text import process_raw_text
+
+        long = " ".join(["walk"] * 50)
+        tokens, sent_len = process_raw_text(long)
+        assert len(tokens) == 22 and sent_len == 22
+
+
+class TestFreezeJoints:
+    def test_freeze(self):
+        import jax.numpy as jnp
+        from mdm_tpu.utils.misc import freeze_joints
+
+        x = jnp.asarray(RNG.normal(size=(2, 5, 4, 6)).astype(np.float32))
+        out = freeze_joints(x, [1, 3])
+        np.testing.assert_allclose(np.asarray(out[:, :, 1]), np.asarray(x[:, :1, 1]).repeat(5, 1))
+        np.testing.assert_allclose(np.asarray(out[:, :, 0]), np.asarray(x[:, :, 0]))
