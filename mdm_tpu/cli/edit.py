@@ -46,7 +46,7 @@ def main(argv=None):
         frames_mask=jnp.asarray(batch["mask"][:B]),
         text_embed=jnp.zeros((B, model.config.text_dim)),
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(gt), jnp.zeros((B,), jnp.int32), cond0
     )
     ckpt = args.model_path

@@ -44,7 +44,7 @@ def main(argv=None):
         frames_mask=jnp.ones((B, num_frames), bool),
         action=jnp.zeros((B,), jnp.int32),
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((B, num_frames, D)),
         jnp.zeros((B,), jnp.int32), cond0,
     )
@@ -69,6 +69,16 @@ def main(argv=None):
         joints = np.asarray(get_xyz(jnp.asarray(feats)))  # [B, T, 24, 3]
         return joints.reshape(joints.shape[0], joints.shape[1], -1)
 
+    # UESTC's STGCN classifier consumes rot6d features (without the
+    # translation row, stgcn_eval.py:58-60); HumanAct12's GRU consumes xyz.
+    use_stgcn = args.dataset == "uestc"
+
+    def feature_input(feats_norm):
+        if use_stgcn:
+            r6 = feats_norm.reshape(feats_norm.shape[0], feats_norm.shape[1], 25, 6)
+            return r6[:, :, :-1]  # [B, T, 24, 6] rotations only
+        return xyz_flat(feats_norm)
+
     def make_loaders(seed):
         key = jax.random.PRNGKey(seed)
         it = BatchIterator(dataset, B, seed=seed, infinite=False)
@@ -76,7 +86,7 @@ def main(argv=None):
         it2 = BatchIterator(dataset, B, seed=seed + 1000, infinite=False)
         for batch in it:
             gt1.append({
-                "output_xyz": xyz_flat(batch["x"]),
+                "output_xyz": feature_input(batch["x"]),
                 "lengths": batch["lengths"], "y": batch["action"],
             })
             key, sub = jax.random.split(key)
@@ -86,34 +96,58 @@ def main(argv=None):
             )
             feats = np.asarray(gen.sample_features(cond, len(batch["action"]), num_frames, sub))
             genb.append({
-                "output_xyz": xyz_flat(feats),
+                "output_xyz": feature_input(feats),
                 "lengths": batch["lengths"], "y": batch["action"],
             })
         for batch in it2:
             gt2.append({
-                "output_xyz": xyz_flat(batch["x"]),
+                "output_xyz": feature_input(batch["x"]),
                 "lengths": batch["lengths"], "y": batch["action"],
             })
         return {"gt": gt1, "gt2": gt2, "gen": genb}
 
     # Frozen classifier (converted reference checkpoint).
-    clf_path = os.path.join("assets", "actionrecognition",
-                            "humanact12_gru.tar" if args.dataset == "humanact12"
-                            else "uestc_rot6d_stgcn.tar")
-    clf = MotionDiscriminator(72 + 3, 128, 2, num_actions)
-    if os.path.exists(clf_path):
-        import torch
+    if use_stgcn:
+        from ..eval.stgcn import STGCN, STGCNConfig, convert_stgcn
 
-        sd = torch.load(clf_path, map_location="cpu", weights_only=False)
-        sd = sd.get("model", sd)
-        clf_params = convert_motion_discriminator(
-            {k: v.numpy() for k, v in sd.items()}
-        )
+        stg_cfg = STGCNConfig(in_channels=6, num_class=num_actions, layout="smpl")
+        stg = STGCN(stg_cfg)
+        clf_path = os.path.join("assets", "actionrecognition", "uestc_rot6d_stgcn.tar")
+        if os.path.exists(clf_path):
+            import torch
+
+            sd = torch.load(clf_path, map_location="cpu", weights_only=False)
+            sd = sd.get("model", sd)
+            clf_params = convert_stgcn({k: v.numpy() for k, v in sd.items()}, stg_cfg)
+        else:
+            print(f"WARNING: classifier checkpoint {clf_path} missing; random init")
+            clf_params = jax.jit(stg.init)(
+                jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 24, 6))
+            )
+
+        class _StgcnAdapter:
+            """Match MotionDiscriminator's (x, lengths) call signature."""
+
+            def apply(self, params, x, lengths):
+                return stg.apply(params, x)
+
+        clf = _StgcnAdapter()
     else:
-        print(f"WARNING: classifier checkpoint {clf_path} missing; random init")
-        clf_params = clf.init(
-            jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 75)), jnp.array([num_frames])
-        )
+        clf_path = os.path.join("assets", "actionrecognition", "humanact12_gru.tar")
+        clf = MotionDiscriminator(72 + 3, 128, 2, num_actions)
+        if os.path.exists(clf_path):
+            import torch
+
+            sd = torch.load(clf_path, map_location="cpu", weights_only=False)
+            sd = sd.get("model", sd)
+            clf_params = convert_motion_discriminator(
+                {k: v.numpy() for k, v in sd.items()}
+            )
+        else:
+            print(f"WARNING: classifier checkpoint {clf_path} missing; random init")
+            clf_params = jax.jit(clf.init)(
+                jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 75)), jnp.array([num_frames])
+            )
 
     ev = A2MEvaluation(clf, clf_params, config=A2MEvalConfig(num_classes=num_actions))
     num_seeds = {"debug": 2}.get(args.eval_mode, 20)

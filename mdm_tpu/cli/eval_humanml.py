@@ -48,7 +48,7 @@ def main(argv=None):
         frames_mask=jnp.ones((B, T), bool),
         text_embed=jnp.zeros((B, model.config.text_dim)),
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((B, T, D)), jnp.zeros((B,), jnp.int32), cond0
     )
     ckpt = args.model_path

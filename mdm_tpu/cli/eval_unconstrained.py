@@ -41,7 +41,7 @@ def main(argv=None):
     B = args.batch_size
     D = model.config.input_feats
     cond0 = Conditioning(frames_mask=jnp.ones((B, num_frames), bool))
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((B, num_frames, D)),
         jnp.zeros((B,), jnp.int32), cond0,
     )

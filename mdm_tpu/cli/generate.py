@@ -88,7 +88,7 @@ def main(argv=None):
         text_embed=jnp.zeros((B, model.config.text_dim)),
         prefix=prefix0,
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((B, n_frames if not model.config.is_prefix_comp else model.config.pred_len,
                    model.config.input_feats)),

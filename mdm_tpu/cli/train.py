@@ -76,7 +76,7 @@ def main(argv=None):
     cond = batch_to_conditioning(batch, model.config)
     import jax.numpy as jnp
 
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed),
         jnp.asarray(batch["x"]),
         jnp.zeros((batch["x"].shape[0],), jnp.int32),

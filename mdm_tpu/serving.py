@@ -60,7 +60,7 @@ class Predictor:
             frames_mask=jnp.ones((B, T), bool),
             text_embed=jnp.zeros((B, mcfg.text_dim)),
         )
-        params = self.model.init(
+        params = jax.jit(self.model.init)(
             jax.random.PRNGKey(0), jnp.zeros((B, T, mcfg.input_feats)),
             jnp.zeros((B,), jnp.int32), cond0,
         )
