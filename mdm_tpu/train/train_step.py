@@ -115,6 +115,10 @@ def make_train_step(
         return jax.jit(step, donate_argnums=(0,))
 
     mesh = get_mesh()
+    if mesh.size == 1 and state_shardings is None:
+        # Single-device: explicit sharding annotations only force per-call
+        # relayout copies (measured 48x slower through the axon tunnel).
+        return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
     # With tensor-parallel state shardings, params/opt/ema stay sharded over
