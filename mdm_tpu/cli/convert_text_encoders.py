@@ -14,7 +14,6 @@ import os
 
 
 def convert_clip(src: str, out_dir: str):
-    import numpy as np
     import orbax.checkpoint as ocp
     import torch
 

@@ -16,7 +16,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..data import A2MConfig, BatchIterator, get_dataset
+    from ..data import BatchIterator, get_dataset
     from ..eval.classifiers import MotionDiscriminator, convert_motion_discriminator
     from ..eval.harness_a2m import (
         A2MEvalConfig,

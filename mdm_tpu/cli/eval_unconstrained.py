@@ -17,7 +17,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..data import A2MConfig, BatchIterator, get_dataset
+    from ..data import BatchIterator, get_dataset
     from ..eval.harness_a2m import (
         UNCONSTRAINED_JOINT_SUBSET,
         evaluate_unconstrained_metrics,

@@ -11,7 +11,7 @@ callables so the engine stays model- and dataset-agnostic.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
 import jax

@@ -18,8 +18,8 @@ with a TPU-first contract:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ max.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Mapping, Optional, Tuple
+from typing import Dict, Mapping
 
 import jax
 import jax.numpy as jnp

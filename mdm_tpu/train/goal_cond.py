@@ -16,12 +16,7 @@ from typing import Callable, Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.goals import (
-    ALL_GOAL_JOINT_NAMES,
-    get_target_location,
-    goal_loss_mask,
-    sample_goal,
-)
+from ..core.goals import get_target_location, goal_loss_mask, sample_goal
 from ..diffusion.losses import masked_goal_l2
 
 
