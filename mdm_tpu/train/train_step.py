@@ -21,7 +21,12 @@ from ..diffusion.losses import LossConfig, training_losses
 from ..diffusion.schedule import Schedule
 from ..models.mdm import Conditioning
 from ..parallel.mesh import DATA_AXIS, get_mesh
-from .resample import uniform_sample_t
+from .resample import (
+    LossAwareState,
+    loss_aware_sample_t,
+    loss_aware_update,
+    uniform_sample_t,
+)
 from .state import OptimConfig, TrainState, apply_gradients, make_optimizer
 
 
@@ -30,6 +35,8 @@ class TrainStepConfig:
     loss: LossConfig = LossConfig()
     optim: OptimConfig = OptimConfig()
     cond_mask_prob: float = 0.1  # CFG condition dropout
+    # 'uniform' (reference default, training_loop.py:104) or 'loss-second-moment'
+    schedule_sampler: str = "uniform"
 
 
 def quartile_metrics(losses: jnp.ndarray, t: jnp.ndarray, num_timesteps: int):
@@ -59,15 +66,20 @@ def make_train_step(
     with `x [B,T,D]`, `mask [B,T]` and a `cond: Conditioning` pytree.
     """
     tx = make_optimizer(config.optim)
+    loss_aware = config.schedule_sampler == "loss-second-moment"
 
-    def step(state: TrainState, batch: Dict[str, Any], key: jax.Array):
+    def step(state: TrainState, batch: Dict[str, Any], key: jax.Array,
+             sampler_state: Optional[LossAwareState] = None):
         x_start = batch["x"]
         mask = batch["mask"]
         cond: Conditioning = batch["cond"]
         B = x_start.shape[0]
 
         key_t, key_noise, key_drop, key_dropout = jax.random.split(key, 4)
-        t, weights = uniform_sample_t(key_t, B, sched.num_timesteps)
+        if loss_aware:
+            t, weights = loss_aware_sample_t(key_t, sampler_state, B)
+        else:
+            t, weights = uniform_sample_t(key_t, B, sched.num_timesteps)
         noise = jax.random.normal(key_noise, x_start.shape, x_start.dtype)
         x_t = G.q_sample(sched, x_start, t, noise)
 
@@ -109,6 +121,9 @@ def make_train_step(
             **{k: jnp.mean(v) for k, v in terms.items() if k != "loss"},
             **quartile_metrics(terms["loss"], t, sched.num_timesteps),
         }
+        if loss_aware:
+            new_sampler_state = loss_aware_update(sampler_state, t, terms["loss"])
+            return new_state, metrics, new_sampler_state
         return new_state, metrics
 
     if not use_shardings:
@@ -124,6 +139,13 @@ def make_train_step(
     # With tensor-parallel state shardings, params/opt/ema stay sharded over
     # the 'model' axis across steps; XLA inserts the TP collectives.
     state_sh = state_shardings if state_shardings is not None else repl
+    if loss_aware:
+        return jax.jit(
+            step,
+            donate_argnums=(0,),
+            in_shardings=(state_sh, data, repl, repl),
+            out_shardings=(state_sh, repl, repl),
+        )
     return jax.jit(
         step,
         donate_argnums=(0,),

@@ -154,3 +154,26 @@ class TestLoopAndCheckpoints:
             assert loop2.step == 4
         finally:
             os.environ.pop("MDM_TPU_TRAINING_TEST", None)
+
+
+class TestLossAwareTrainStep:
+    def test_loss_aware_sampler_in_step(self):
+        make_mesh()
+        model, params = setup_model()
+        sched = Schedule.create("cosine", 16)
+        config = TrainStepConfig(
+            optim=OptimConfig(lr=1e-3), schedule_sampler="loss-second-moment"
+        )
+        step = make_train_step(model.apply, sched, config)
+        state = create_train_state(params, config.optim)
+        sampler_state = LossAwareState.create(16, history_per_term=2)
+
+        rng = np.random.default_rng(4)
+        batch = make_batch(rng)
+        key = jax.random.PRNGKey(5)
+        for i in range(5):
+            key, sub = jax.random.split(key)
+            state, metrics, sampler_state = step(state, batch, sub, sampler_state)
+        assert np.isfinite(float(metrics["loss"]))
+        # history has been populated
+        assert int(np.asarray(sampler_state.counts).sum()) > 0
