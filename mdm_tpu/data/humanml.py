@@ -211,6 +211,19 @@ class HumanMLDataset:
         entry = clip.texts[int(rng.integers(len(clip.texts)))]
         m_length = clip.length
 
+        if self.mode == "text_only":
+            # Prompt-only access (reference TextOnlyDataset, dataset.py:673):
+            # no motion decode/normalize cost.
+            return {
+                "motion": np.zeros((1, opt.dim_pose), np.float32),
+                "length": m_length,
+                "original_length": m_length,
+                "caption": entry.caption,
+                "tokens": entry.tokens,
+                "sent_len": len(entry.tokens),
+                "key": clip.name,
+            }
+
         # unit_length crop augmentation (dataset.py:343-352)
         if opt.unit_length < 10:
             coin2 = ["single", "single", "double"][int(rng.integers(3))]

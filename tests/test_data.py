@@ -175,3 +175,37 @@ class TestFreezeJoints:
         out = freeze_joints(x, [1, 3])
         np.testing.assert_allclose(np.asarray(out[:, :, 1]), np.asarray(x[:, :1, 1]).repeat(5, 1))
         np.testing.assert_allclose(np.asarray(out[:, :, 0]), np.asarray(x[:, :, 0]))
+
+
+class TestKitAndTextOnly:
+    @pytest.fixture()
+    def synthetic_kit(self, tmp_path):
+        root = tmp_path / "KIT-ML"
+        (root / "new_joint_vecs").mkdir(parents=True)
+        (root / "texts").mkdir()
+        for i in range(4):
+            name = f"{i:05d}"
+            L = int(RNG.integers(30, 150))  # kit min length is 24
+            np.save(root / "new_joint_vecs" / f"{name}.npy",
+                    RNG.normal(size=(L, 251)).astype(np.float32))
+            (root / "texts" / f"{name}.txt").write_text(
+                "a human walks#a/DET human/NOUN walk/VERB#0.0#0.0\n"
+            )
+        (root / "train.txt").write_text("\n".join(f"{i:05d}" for i in range(4)))
+        np.save(root / "Mean.npy", np.zeros(251, np.float32))
+        np.save(root / "Std.npy", np.ones(251, np.float32))
+        return str(root)
+
+    def test_kit_dataset(self, synthetic_kit):
+        opt = HumanMLOptions.for_dataset("kit", synthetic_kit, use_cache=False)
+        assert opt.dim_pose == 251 and opt.joints_num == 21
+        ds = HumanMLDataset(opt, split="train")
+        s = ds.sample(0, RNG)
+        assert s["motion"].shape == (196, 251)
+
+    def test_text_only_mode(self, synthetic_kit):
+        opt = HumanMLOptions.for_dataset("kit", synthetic_kit, use_cache=False)
+        ds = HumanMLDataset(opt, split="train", mode="text_only")
+        s = ds.sample(0, RNG)
+        assert s["caption"] == "a human walks"
+        assert s["motion"].shape == (1, 251)  # placeholder, no padding cost
