@@ -415,3 +415,46 @@ class TestBpdLoop:
             np.asarray(out["vb"]).sum(axis=1) + np.asarray(out["prior_bpd"]),
             rtol=1e-5,
         )
+
+
+class TestDistributionalEquivalence:
+    def test_ancestral_matches_reference_distribution(self, ref_gd):
+        """Exact RNG parity with torch is impossible; the ancestral sampler
+        must instead match the reference's output DISTRIBUTION for the same
+        deterministic model (mean/std over many seeds)."""
+        import torch
+
+        betas = named_beta_schedule("cosine", 10)
+        sched = Schedule.from_betas(betas)
+        ref = make_ref_diffusion(ref_gd, betas)
+        shape = (4, 6, 5)
+        model = _RefDeterministicModel(shape)
+
+        n_seeds = 60
+        ours, theirs = [], []
+        for s in range(n_seeds):
+            noise = np.random.default_rng(s).normal(size=shape).astype(np.float32)
+            torch.manual_seed(s)
+            out_ref = ref.p_sample_loop(
+                model, shape, noise=torch.from_numpy(noise.copy()),
+                clip_denoised=False, model_kwargs={"y": {}}, device="cpu",
+            ).numpy()
+            out_ours = p_sample_loop(
+                model.jax_fn, sched, jnp.asarray(noise), jax.random.PRNGKey(s),
+                SamplerConfig(clip_denoised=False),
+            )
+            theirs.append(out_ref)
+            ours.append(np.asarray(out_ours))
+        ours = np.stack(ours)
+        theirs = np.stack(theirs)
+        # Aggregate moments must agree (elementwise means are noise-limited
+        # at this seed count: SE ~ 0.12 per element).
+        assert abs(ours.mean() - theirs.mean()) < 0.02
+        assert abs(ours.std() - theirs.std()) < 0.03
+        # Per-element means should correlate (same conditional-mean structure
+        # from the shared deterministic model). Both estimates carry SE~0.12
+        # per element, which attenuates the expected correlation to ~0.6-0.7
+        # even for identical distributions; 0.5 rejects a broken sampler
+        # (independent runs of wrong dynamics decorrelate to ~0).
+        c = np.corrcoef(ours.mean(axis=0).ravel(), theirs.mean(axis=0).ravel())[0, 1]
+        assert c > 0.5
