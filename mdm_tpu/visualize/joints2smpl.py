@@ -141,6 +141,44 @@ class NpyToObj:
         return path
 
 
+HIK_JOINT_MAP = [
+    "Hips", "LeftUpLeg", "RightUpLeg", "Spine", "LeftLeg", "RightLeg",
+    "Spine1", "LeftFoot", "RightFoot", "Spine2", "LeftToeBase",
+    "RightToeBase", "Neck", "LeftShoulder", "RightShoulder", "Head",
+    "LeftArm", "RightArm", "LeftForeArm", "RightForeArm", "LeftHand",
+    "RightHand",
+]
+
+
+def motions2hik(
+    motions: np.ndarray,  # [nreps, T, J, 3] xyz joints OR [nreps, T, 25, 6] thetas
+    model: Optional[SMPLModel] = None,
+    fit_config: FitConfig = FitConfig(),
+) -> dict:
+    """Model output -> HumanIK-style JSON dict (Maya / MotionBuilder).
+
+    Mirror of reference visualize/motions2hik.py:40-103: xyz joints are
+    SMPLify-fitted to rotations first; rot6d thetas are converted directly.
+    Returns {'joint_map', 'thetas' [nreps, T, J, 3 deg], 'root_translation'}.
+    """
+    thetas_all, trans_all = [], []
+    for rep in motions:
+        if rep.shape[-1] == 3:  # xyz joints -> fit
+            smpl = model or SMPLModel.load()
+            fit = fit_smpl(smpl, rep, fit_config)
+            thetas6d = fit["thetas"]  # [T, 25, 6]
+        else:
+            thetas6d = rep
+        euler = motions_to_euler(thetas6d[:, :-1])  # drop translation row
+        thetas_all.append(euler)
+        trans_all.append(thetas6d[:, -1, :3])
+    return {
+        "joint_map": HIK_JOINT_MAP,
+        "thetas": np.stack(thetas_all).tolist(),
+        "root_translation": np.stack(trans_all).tolist(),
+    }
+
+
 def motions_to_euler(thetas6d: np.ndarray, order: str = "XYZ") -> np.ndarray:
     """rot6d thetas [T, J, 6] -> euler degrees [T, J, 3] (HumanIK-style
     export, reference visualize/motions2hik.py)."""

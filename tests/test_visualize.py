@@ -75,3 +75,17 @@ def test_plot_3d_motion_renders(tmp_path):
     path = plot_3d_motion(str(tmp_path / "m.mp4"), joints, title="test walk", fps=4)
     assert os.path.exists(path)
     assert os.path.getsize(path) > 0
+
+
+def test_motions2hik_from_thetas():
+    from mdm_tpu.visualize.joints2smpl import HIK_JOINT_MAP, motions2hik
+
+    q = RNG.normal(size=(2, 5, 25, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    d6 = np.asarray(R.matrix_to_rotation_6d(R.quaternion_to_matrix(jnp.asarray(q))))
+    out = motions2hik(d6)
+    assert out["joint_map"] == HIK_JOINT_MAP
+    thetas = np.asarray(out["thetas"])
+    assert thetas.shape == (2, 5, 24, 3)
+    trans = np.asarray(out["root_translation"])
+    assert trans.shape == (2, 5, 3)
