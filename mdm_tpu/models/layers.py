@@ -68,32 +68,39 @@ class MultiHeadAttention(nn.Module):
         k = nn.Dense(D, name="k_proj", dtype=cdt)(key)
         v = nn.Dense(D, name="v_proj", dtype=cdt)(value)
 
-        split = lambda x: x.reshape(x.shape[0], x.shape[1], H, head_dim)
-        q, k, v = split(q), split(k), split(v)
-
         from ..ops import pallas_attention_enabled
 
-        if (
+        use_v2 = (
             pallas_attention_enabled()
             and deterministic  # the fused kernel has no attention dropout
             and query.shape[1] == key.shape[1]
-        ):
-            from ..ops import fused_attention
+            # v2 handles row-broadcast (key padding) biases; full [.., Sq, Sk]
+            # biases fall through to the einsum path.
+            and (attn_bias is None or attn_bias.shape[-2] == 1)
+            and D % 128 == 0
+        )
+        if use_v2:
+            from ..ops.attention_v2 import fused_attention_v2
 
-            to_bhsd = lambda x: jnp.swapaxes(x, 1, 2)
-            out = fused_attention(to_bhsd(q), to_bhsd(k), to_bhsd(v), attn_bias)
-            out = jnp.swapaxes(out, 1, 2)
-        else:
-            # [B, H, Sq, Sk]
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-                jnp.asarray(head_dim, dtype=cdt)
-            )
+            kpm = None
             if attn_bias is not None:
-                logits = logits + attn_bias.astype(logits.dtype)
-            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(cdt)
-            if self.dropout > 0.0 and not deterministic:
-                weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
-            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[:, -key.shape[1]:] < -1e8
+            out = fused_attention_v2(q, k, v, H, key_padding_mask=kpm)
+            out = out.astype(cdt)
+            return nn.Dense(D, name="out_proj", dtype=cdt)(out)
+
+        split = lambda x: x.reshape(x.shape[0], x.shape[1], H, head_dim)
+        q, k, v = split(q), split(k), split(v)
+        # [B, H, Sq, Sk]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, dtype=cdt)
+        )
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(cdt)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(out.shape[0], out.shape[1], D)
         return nn.Dense(D, name="out_proj", dtype=cdt)(out)
 

@@ -64,3 +64,57 @@ def test_model_with_pallas_attention_interpret():
         ops.enable_pallas_attention(False)
         ops_pkg.fused_attention = orig
     np.testing.assert_allclose(with_pallas, baseline, atol=2e-5)
+
+
+class TestAttentionV2:
+    def test_v2_matches_xla(self):
+        from mdm_tpu.ops.attention_v2 import fused_attention_v2
+
+        B, S, H, Dh = 2, 37, 4, 32
+        D = H * Dh
+        q = jnp.asarray(RNG.normal(size=(B, S, D)).astype(np.float32))
+        k = jnp.asarray(RNG.normal(size=(B, S, D)).astype(np.float32))
+        v = jnp.asarray(RNG.normal(size=(B, S, D)).astype(np.float32))
+        kpm = np.zeros((B, S), bool)
+        kpm[1, 20:] = True
+
+        to_bhsd = lambda x: jnp.swapaxes(x.reshape(B, S, H, Dh), 1, 2)
+        bias = jnp.where(jnp.asarray(kpm)[:, None, None, :], -1e9, 0.0)
+        expected = xla_attention(to_bhsd(q), to_bhsd(k), to_bhsd(v), bias)
+        expected = jnp.swapaxes(expected, 1, 2).reshape(B, S, D)
+
+        got = fused_attention_v2(
+            q, k, v, H, key_padding_mask=jnp.asarray(kpm), interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+    def test_model_v2_path_interpret(self):
+        """MDM forward with the v2 pallas path equals the XLA path."""
+        from mdm_tpu import ops
+        from mdm_tpu.models import MDM, Conditioning, MDMConfig
+        import mdm_tpu.ops.attention_v2 as v2mod
+
+        cfg = MDMConfig(njoints=26, nfeats=1, latent_dim=128, ff_size=64,
+                        num_layers=2, num_heads=1)
+        model = MDM(cfg)
+        B, T = 2, 12
+        x = jnp.asarray(RNG.normal(size=(B, T, 26)).astype(np.float32))
+        t = jnp.asarray(np.array([1, 2]))
+        mask = np.ones((B, T), bool)
+        mask[1, 8:] = False
+        cond = Conditioning(
+            frames_mask=jnp.asarray(mask),
+            text_embed=jnp.asarray(RNG.normal(size=(B, 512)).astype(np.float32)),
+        )
+        params = model.init(jax.random.PRNGKey(0), x, t, cond)
+        baseline = np.asarray(model.apply(params, x, t, cond))
+
+        orig = v2mod.fused_attention_v2
+        v2mod.fused_attention_v2 = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        try:
+            ops.enable_pallas_attention(True)
+            with_v2 = np.asarray(model.apply(params, x, t, cond))
+        finally:
+            ops.enable_pallas_attention(False)
+            v2mod.fused_attention_v2 = orig
+        np.testing.assert_allclose(with_v2, baseline, atol=3e-5)
