@@ -118,3 +118,33 @@ class TestAttentionV2:
             ops.enable_pallas_attention(False)
             v2mod.fused_attention_v2 = orig
         np.testing.assert_allclose(with_v2, baseline, atol=3e-5)
+
+
+def test_fused_attention_block_matches_reference():
+    from mdm_tpu.ops.attention_block import fused_attention_block
+
+    rng = np.random.default_rng(7)
+    B, S, H, Dh = 2, 37, 4, 32
+    D = H * Dh
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    mk_w = lambda: jnp.asarray((rng.normal(size=(D, D)) * 0.05).astype(np.float32))
+    mk_b = lambda: jnp.asarray((rng.normal(size=(D,)) * 0.05).astype(np.float32))
+    wq, wk, wv, wo = mk_w(), mk_w(), mk_w(), mk_w()
+    bq, bk, bv, bo = mk_b(), mk_b(), mk_b(), mk_b()
+    kpm = np.zeros((B, S), bool)
+    kpm[1, 25:] = True
+
+    q = x @ wq + bq
+    k = x @ wk + bk
+    v = x @ wv + bv
+    qs, ks, vs = (t.reshape(B, S, H, Dh) for t in (q, k, v))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qs, ks) / np.sqrt(Dh)
+    logits = jnp.where(jnp.asarray(kpm)[:, None, None, :], -1e9, logits)
+    p = jax.nn.softmax(logits, -1)
+    expected = jnp.einsum("bhqk,bkhd->bqhd", p, vs).reshape(B, S, D) @ wo + bo
+
+    got = fused_attention_block(
+        x, wq, bq, wk, bk, wv, bv, wo, bo, H,
+        key_padding_mask=jnp.asarray(kpm), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
