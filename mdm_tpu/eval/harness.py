@@ -215,4 +215,9 @@ class GeneratedMotionLoader:
                 feats = (feats - self.generator.mean) / self.generator.std
             out = dict(batch)
             out["x"] = feats
+            # Autoregressive (DiP) eval scores against the clip's original
+            # length, not the fixed prediction window (reference
+            # comp_v6_model_dataset.py:220-221).
+            if "orig_lengths" in batch:
+                out["lengths"] = np.asarray(batch["orig_lengths"])
             yield out

@@ -4,7 +4,7 @@
 VMEM-resident kernel (mdm_tpu.ops.attention); the pure-XLA path remains the
 default and the fallback on non-TPU backends.
 """
-from . import attention  # noqa: F401
+from . import attention, attention_block, attention_v2  # noqa: F401
 from .attention import fused_attention, xla_attention  # noqa: F401
 
 _PALLAS_ATTENTION = False
