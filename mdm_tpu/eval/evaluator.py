@@ -44,7 +44,26 @@ class EvaluatorWrapper:
         if params is None:
             ckpt_dir = "t2m" if dataset_name == "humanml" else dataset_name
             path = os.path.join(checkpoints_dir, ckpt_dir, "text_mot_match", "model", "finest.tar")
-            params = self.load_torch_checkpoint(path)
+            if os.path.exists(path):
+                params = self.load_torch_checkpoint(path)
+            else:
+                # Metric numbers are meaningless without the frozen
+                # evaluators; random init keeps smoke/dev runs alive.
+                print(f"WARNING: evaluator checkpoint {path} missing; random init "
+                      "(metrics will NOT be comparable to published numbers)")
+                import jax
+                import jax.numpy as jnp
+
+                key = jax.random.PRNGKey(0)
+                params = {
+                    "movement": self.movement_enc.init(key, jnp.zeros((1, 8, dim_pose - 4))),
+                    "text": self.text_enc.init(
+                        key, jnp.zeros((1, 4, 300)), jnp.zeros((1, 4, 15)), jnp.array([4])
+                    ),
+                    "motion": self.motion_enc.init(
+                        key, jnp.zeros((1, 4, 512)), jnp.array([4])
+                    ),
+                }
         self.params = params
 
         self._embed_motion = jax.jit(self._embed_motion_impl)

@@ -21,6 +21,22 @@ from .evaluator import EvaluatorWrapper
 EVAL_BATCH_SIZE = 32  # protocol-locked (reference eval_humanml.py:245)
 
 
+def _text_features(batch):
+    """(word_embeddings, pos_one_hots, sent_lens) with a zero fallback when
+    no GloVe vectorizer was attached (smoke runs; matching metrics are then
+    structurally valid but not comparable)."""
+    if "word_embeddings" in batch:
+        return batch["word_embeddings"], batch["pos_one_hots"], batch["sent_lens"]
+    B = batch["x"].shape[0]
+    L = 22
+    sent_lens = batch.get("sent_lens", np.full((B,), 4, np.int32))
+    return (
+        np.zeros((B, L, 300), np.float32),
+        np.zeros((B, L, 15), np.float32),
+        np.asarray(sent_lens),
+    )
+
+
 def evaluate_matching_score(eval_wrapper: EvaluatorWrapper, motion_loaders: Dict[str, Iterable], log=print):
     match_score_dict = OrderedDict()
     R_precision_dict = OrderedDict()
@@ -32,9 +48,9 @@ def evaluate_matching_score(eval_wrapper: EvaluatorWrapper, motion_loaders: Dict
         matching_score_sum = 0
         top_k_count = np.zeros(3)
         for batch in loader:
+            w, p, sl = _text_features(batch)
             text_emb, motion_emb = eval_wrapper.get_co_embeddings(
-                batch["word_embeddings"], batch["pos_one_hots"],
-                batch["sent_lens"], batch["x"], batch["lengths"],
+                w, p, sl, batch["x"], batch["lengths"],
             )
             dist_mat = M.euclidean_distance_matrix(text_emb, motion_emb)
             matching_score_sum += dist_mat.trace()

@@ -102,3 +102,27 @@ def test_edit_cli(tmp_path, synthetic_humanml, monkeypatch):
     ])
     results = np.load(os.path.join(out_dir, "results.npy"), allow_pickle=True).item()
     assert results["motion"].shape[0] == 2
+
+
+def test_eval_humanml_cli_smoke(tmp_path, synthetic_humanml, monkeypatch):
+    """Full eval CLI on synthetic data with random evaluator weights."""
+    from mdm_tpu.cli import eval_humanml as ev_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_ev")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    summary = ev_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--data_dir", synthetic_humanml,
+        "--eval_mode", "debug",
+    ])
+    assert "FID" in summary and "vald" in summary["FID"]
+    assert np.isfinite(summary["FID"]["vald"]["mean"])
