@@ -51,9 +51,6 @@ class EvaluatorWrapper:
                 # evaluators; random init keeps smoke/dev runs alive.
                 print(f"WARNING: evaluator checkpoint {path} missing; random init "
                       "(metrics will NOT be comparable to published numbers)")
-                import jax
-                import jax.numpy as jnp
-
                 key = jax.random.PRNGKey(0)
                 params = {
                     "movement": self.movement_enc.init(key, jnp.zeros((1, 8, dim_pose - 4))),
