@@ -299,8 +299,82 @@ def plms_sample_loop(
     return x
 
 
+def dpmpp_2m_sample_loop(
+    model_fn: ModelFn,
+    sched: Schedule,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    config: SamplerConfig = SamplerConfig(),
+    *,
+    init_image: Optional[jnp.ndarray] = None,
+    cond_fn: Optional[CondFn] = None,
+    inpainting_mask: Optional[jnp.ndarray] = None,
+    inpainted_motion: Optional[jnp.ndarray] = None,
+    model_state=None,
+):
+    """DPM-Solver++(2M), data-prediction form (Lu et al. 2022).
+
+    A second-order multistep ODE solver over log-SNR time: matches DDIM
+    quality with ~2-3x fewer steps — capability beyond the reference's
+    sampler set, natural here because MDM already predicts x0. One model
+    call per step inside a single scan; deterministic.
+    """
+    B, nd = noise.shape[0], noise.ndim
+    x, indices = _init_state(sched, noise, init_image, config.skip_timesteps)
+    n = len(indices)
+
+    alpha = jnp.sqrt(sched.alphas_cumprod)
+    sigma = jnp.sqrt(1.0 - sched.alphas_cumprod)
+    lam = jnp.log(alpha) - jnp.log(sigma)
+
+    def pred_x0(x, i, mstate):
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        res = _p_mean_variance_step(
+            sched, model_fn, cond_fn, config, x, t, inpainting_mask,
+            inpainted_motion, mstate,
+        )
+        out, mstate = res if mstate is not None else (res, mstate)
+        return out.pred_xstart, mstate
+
+    # First step: first-order (DDIM-style) update from t=indices[0] to indices[1].
+    i0 = indices[0]
+    d0, model_state = pred_x0(x, i0, model_state)
+
+    def solver_update(x, d_tilde, i_from, i_to):
+        h = lam[i_to] - lam[i_from]
+        return (sigma[i_to] / sigma[i_from]) * x - alpha[i_to] * jnp.expm1(-h) * d_tilde
+
+    if n == 1:
+        return d0  # single-step: return the x0 prediction
+
+    x = solver_update(x, d0, i0, indices[1])
+
+    def step(carry, args):
+        x, d_prev, i_prev2, i_prev, mstate = carry
+        i_next = args
+        d_cur, mstate = pred_x0(x, i_prev, mstate)
+        h_prev = lam[i_prev] - lam[i_prev2]
+        h = lam[i_next] - lam[i_prev]
+        r = h_prev / h
+        d_tilde = (1.0 + 1.0 / (2.0 * r)) * d_cur - (1.0 / (2.0 * r)) * d_prev
+        x_next = solver_update(x, d_tilde, i_prev, i_next)
+        return (x_next, d_cur, i_prev, i_next, mstate), None
+
+    if n > 2:
+        (x, d_last, _, i_last, model_state), _ = jax.lax.scan(
+            step, (x, d0, i0, indices[1], model_state), indices[2:]
+        )
+    else:
+        d_last, i_last = d0, indices[1]
+
+    # Final step to clean data: evaluate at the last timestep and take x0.
+    d_final, _ = pred_x0(x, i_last, model_state)
+    return d_final
+
+
 SAMPLERS = {
     "ddpm": p_sample_loop,
     "ddim": ddim_sample_loop,
     "plms": plms_sample_loop,
+    "dpmpp_2m": dpmpp_2m_sample_loop,
 }

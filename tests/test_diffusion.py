@@ -458,3 +458,47 @@ class TestDistributionalEquivalence:
         # (independent runs of wrong dynamics decorrelate to ~0).
         c = np.corrcoef(ours.mean(axis=0).ravel(), theirs.mean(axis=0).ravel())[0, 1]
         assert c > 0.5
+
+
+class TestDpmSolverPP:
+    def _setup(self, T=1000, respace="200"):
+        betas = named_beta_schedule("cosine", T)
+        from mdm_tpu.diffusion import Schedule as S, space_timesteps
+        sched = S.respaced(betas, space_timesteps(T, respace))
+        shape = (2, 8, 6)
+        model = _RefDeterministicModel(shape)
+        noise = RNG.normal(size=shape).astype(np.float32)
+        return sched, model, noise
+
+    def test_converges_to_ddim_solution(self):
+        """At high step counts both DDIM(eta=0) and DPM++(2M) integrate the
+        same probability-flow ODE and must agree."""
+        from mdm_tpu.diffusion import dpmpp_2m_sample_loop
+
+        sched, model, noise = self._setup(respace="200")
+        cfgd = SamplerConfig(clip_denoised=False)
+        out_ddim = ddim_sample_loop(model.jax_fn, sched, jnp.asarray(noise),
+                                    jax.random.PRNGKey(0), cfgd)
+        out_dpm = dpmpp_2m_sample_loop(model.jax_fn, sched, jnp.asarray(noise),
+                                       jax.random.PRNGKey(0), cfgd)
+        diff = np.abs(np.asarray(out_ddim) - np.asarray(out_dpm)).max()
+        assert diff < 0.05, diff
+
+    def test_low_step_accuracy_beats_ddim(self):
+        """10-step DPM++(2M) should land closer to the 200-step solution
+        than 10-step DDIM does — the point of the higher-order solver."""
+        from mdm_tpu.diffusion import dpmpp_2m_sample_loop
+
+        sched_ref, model, noise = self._setup(respace="200")
+        cfgd = SamplerConfig(clip_denoised=False)
+        truth = np.asarray(ddim_sample_loop(
+            model.jax_fn, sched_ref, jnp.asarray(noise), jax.random.PRNGKey(0), cfgd))
+
+        sched10, _, _ = self._setup(respace="10")
+        ddim10 = np.asarray(ddim_sample_loop(
+            model.jax_fn, sched10, jnp.asarray(noise), jax.random.PRNGKey(0), cfgd))
+        dpm10 = np.asarray(dpmpp_2m_sample_loop(
+            model.jax_fn, sched10, jnp.asarray(noise), jax.random.PRNGKey(0), cfgd))
+        err_ddim = np.abs(ddim10 - truth).mean()
+        err_dpm = np.abs(dpm10 - truth).mean()
+        assert err_dpm < err_ddim, (err_dpm, err_ddim)
