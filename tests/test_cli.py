@@ -126,3 +126,39 @@ def test_eval_humanml_cli_smoke(tmp_path, synthetic_humanml, monkeypatch):
     ])
     assert "FID" in summary and "vald" in summary["FID"]
     assert np.isfinite(summary["FID"]["vald"]["mean"])
+
+
+@pytest.fixture()
+def synthetic_humanact12(tmp_path):
+    import pickle
+    rng = np.random.default_rng(3)
+    d = tmp_path / "HumanAct12Poses"
+    d.mkdir()
+    lengths = [int(rng.integers(60, 100)) for _ in range(6)]
+    data = {
+        "poses": [rng.normal(size=(L, 72)).astype(np.float32) * 0.1 for L in lengths],
+        "joints3D": [rng.normal(size=(L, 24, 3)).astype(np.float32) for L in lengths],
+        "y": list(rng.integers(0, 12, size=6)),
+    }
+    with open(d / "humanact12poses.pkl", "wb") as f:
+        pickle.dump(data, f)
+    return str(d)
+
+
+def test_train_action_conditioned(tmp_path, synthetic_humanact12, monkeypatch):
+    """Action-to-motion training path through the CLI (rot6d, EmbedAction)."""
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_a2m")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanact12",
+        "--data_dir", synthetic_humanact12,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--num_frames", "60",
+    ])
+    assert any(f.startswith("ckpt_") for f in os.listdir(save_dir))
+    with open(os.path.join(save_dir, "args.json")) as f:
+        saved = json.load(f)
+    assert saved["cond_mode"] == "action"

@@ -155,3 +155,22 @@ class TestCachedCFG:
             model_state={"uncond": jnp.zeros((B, T, D)), "i": jnp.zeros((), jnp.int32)},
         )
         np.testing.assert_allclose(np.asarray(cached), np.asarray(exact), atol=1e-6)
+
+
+class TestAllSamplersThroughGenerator:
+    @pytest.mark.parametrize("sampler", ["ddpm", "ddim", "plms", "dpmpp_2m"])
+    def test_generator_with_sampler(self, sampler):
+        model, params = tiny_mdm()
+        sched = Schedule.create("cosine", 1000, timestep_respacing="8")
+        gen = MotionGenerator(
+            model, params, sched,
+            GenerationConfig(guidance_scale=2.5, sampler=sampler), "humanml",
+        )
+        B, T = 2, 16
+        cond = Conditioning(
+            text_embed=jnp.asarray(RNG.normal(size=(B, 512)).astype(np.float32)),
+            frames_mask=jnp.ones((B, T), bool),
+        )
+        feats = gen.sample_features(cond, B, T, jax.random.PRNGKey(1))
+        assert feats.shape == (B, T, 263)
+        assert np.isfinite(np.asarray(feats)).all()
