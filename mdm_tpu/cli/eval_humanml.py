@@ -16,6 +16,7 @@ def main(argv=None):
 
     from ..data import BatchIterator, WordVectorizer, get_dataset
     from ..eval import EvalConfig, EvaluatorWrapper, GeneratedMotionLoader, evaluation
+    from ..eval.harness import MMGeneratedLoader
     from ..sampling import GenerationConfig, MotionGenerator
     from ..sampling.text import make_text_embedder
     from ..train.checkpoints import find_resume_checkpoint, restore_params_only
@@ -77,6 +78,13 @@ def main(argv=None):
         os.path.dirname(ckpt),
         f"eval_{os.path.basename(ckpt)}_{mode}_gscale{args.guidance_param}.log",
     )
+    mm_loader_fns = None
+    if run_mm:
+        mm_loader_fns = {
+            "vald": lambda rep: MMGeneratedLoader(
+                gen, gt_batches, text_embedder, seed=rep,
+            )
+        }
     summary = evaluation(
         eval_wrapper,
         gt_loader_fn=lambda: iter(gt_batches),
@@ -88,6 +96,7 @@ def main(argv=None):
         config=EvalConfig(
             replication_times=replication_times, run_mm=run_mm, log_file=log_file
         ),
+        mm_loader_fns=mm_loader_fns,
     )
     return summary
 

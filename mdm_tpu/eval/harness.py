@@ -186,6 +186,65 @@ def evaluation(
     return summary
 
 
+class MMGeneratedLoader:
+    """Multimodality loader: N repeats of the SAME prompt per item
+    (reference MMGeneratedDataset, model_motion_loaders.py:14-46).
+
+    Yields one batch per selected prompt with x [n_repeats, T, D].
+    """
+
+    def __init__(
+        self,
+        generator,
+        gt_batches: List[Dict],
+        text_embedder: Callable[[List[str]], Dict],
+        mm_num_samples: int = 10,
+        mm_num_repeats: int = 10,
+        seed: int = 0,
+        model_mean: Optional[np.ndarray] = None,
+        model_std: Optional[np.ndarray] = None,
+    ):
+        self.generator = generator
+        self.gt_batches = gt_batches
+        self.text_embedder = text_embedder
+        self.mm_num_samples = mm_num_samples
+        self.mm_num_repeats = mm_num_repeats
+        self.seed = seed
+        self.model_mean = model_mean
+        self.model_std = model_std
+
+    def __iter__(self):
+        import jax
+
+        from ..models.mdm import Conditioning
+
+        key = jax.random.PRNGKey(self.seed + 7919)
+        count = 0
+        rng = np.random.default_rng(self.seed)
+        for batch in self.gt_batches:
+            if count >= self.mm_num_samples:
+                return
+            idx = int(rng.integers(batch["x"].shape[0]))
+            text = batch["text"][idx]
+            T = batch["x"].shape[1]
+            R = self.mm_num_repeats
+            embeds = self.text_embedder([text] * R)
+            key, sub = jax.random.split(key)
+            cond = Conditioning(
+                frames_mask=np.broadcast_to(batch["mask"][idx : idx + 1], (R, T)).copy(),
+                **embeds,
+            )
+            feats = np.asarray(self.generator.sample_features(cond, R, T, sub))
+            if self.model_mean is not None:
+                feats = feats * self.model_std + self.model_mean
+                feats = (feats - self.generator.mean) / self.generator.std
+            count += 1
+            yield {
+                "x": feats,
+                "lengths": np.full((R,), batch["lengths"][idx], np.int32),
+            }
+
+
 class GeneratedMotionLoader:
     """Runs the generator over a ground-truth loader's prompts and yields
     eval-ready batches (reference CompMDMGeneratedDataset,

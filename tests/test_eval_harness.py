@@ -127,3 +127,38 @@ class TestEvaluationProtocol:
         assert fid_gt < 1e-6  # identical distributions
         assert fid_gen > fid_gt
         assert summary["R_precision"]["ground truth"]["mean"].shape == (3,)
+
+
+def test_mm_generated_loader():
+    """MM loader yields per-prompt repeat batches suitable for the
+    multimodality metric."""
+    import jax.numpy as jnp
+
+    from mdm_tpu.diffusion import Schedule
+    from mdm_tpu.eval.harness import MMGeneratedLoader
+    from mdm_tpu.models import MDM, Conditioning, MDMConfig
+    from mdm_tpu.sampling import GenerationConfig, MotionGenerator
+
+    cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=32, ff_size=64,
+                    num_layers=2, num_heads=4)
+    model = MDM(cfg)
+    T = 16
+    cond0 = Conditioning(frames_mask=jnp.ones((1, T), bool),
+                         text_embed=jnp.zeros((1, 512)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, T, 263)),
+                        jnp.zeros((1,), jnp.int32), cond0)
+    sched = Schedule.create("cosine", 1000, timestep_respacing="4")
+    gen = MotionGenerator(model, params, sched, GenerationConfig(guidance_scale=2.0), "humanml")
+
+    gt_batches = [{
+        "x": np.zeros((3, T, 263), np.float32),
+        "mask": np.ones((3, T), bool),
+        "lengths": np.array([T, T - 2, T - 4]),
+        "text": ["a", "b", "c"],
+    }]
+    embed = lambda texts: {"text_embed": np.zeros((len(texts), 512), np.float32)}
+    batches = list(MMGeneratedLoader(gen, gt_batches, embed,
+                                     mm_num_samples=1, mm_num_repeats=4))
+    assert len(batches) == 1
+    assert batches[0]["x"].shape == (4, T, 263)
+    assert batches[0]["lengths"].shape == (4,)
