@@ -8,9 +8,8 @@ jitted chunk program in a host loop, carrying the 20-frame prefix.
 """
 from __future__ import annotations
 
-import functools
 import os
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -50,12 +50,6 @@ def test_train_then_generate(tmp_path, synthetic_humanml, monkeypatch):
         "--data_dir", synthetic_humanml,
         "--batch_size", "8", "--latent_dim", "32", "--layers", "2",
         "--diffusion_steps", "8", "--num_steps", "4", "--save_interval", "2",
-        "--log_interval", "1", "--use_cache", "false",
-    ] if False else [
-        "--save_dir", save_dir, "--dataset", "humanml",
-        "--data_dir", synthetic_humanml,
-        "--batch_size", "8", "--latent_dim", "32", "--layers", "2",
-        "--diffusion_steps", "8", "--num_steps", "4", "--save_interval", "2",
         "--log_interval", "1",
     ])
 

@@ -502,3 +502,65 @@ class TestDpmSolverPP:
         err_ddim = np.abs(ddim10 - truth).mean()
         err_dpm = np.abs(dpm10 - truth).mean()
         assert err_dpm < err_ddim, (err_dpm, err_ddim)
+
+
+class TestMoreSamplerParity:
+    def setup_method(self):
+        self.betas = named_beta_schedule("cosine", 20)
+        self.sched = Schedule.from_betas(self.betas)
+        self.shape = (2, 8, 6)
+        self.model = _RefDeterministicModel(self.shape)
+        self.noise = RNG.normal(size=self.shape).astype(np.float32)
+
+    # order=1 crashes in the reference itself (gaussian_diffusion.py:1052
+    # dereferences old_out=None on the first step), so only higher orders
+    # can be parity-tested.
+    @pytest.mark.parametrize("order", [3, 4])
+    def test_plms_other_orders(self, ref_gd, order):
+        import torch
+        ref = make_ref_diffusion(ref_gd, self.betas)
+        theirs = ref.plms_sample_loop(
+            self.model, self.shape, noise=torch.from_numpy(self.noise.copy()),
+            clip_denoised=False, model_kwargs={"y": {}}, device="cpu", order=order,
+        ).numpy()
+        ours = plms_sample_loop(
+            self.model.jax_fn, self.sched, jnp.asarray(self.noise),
+            jax.random.PRNGKey(0), SamplerConfig(clip_denoised=False, order=order),
+        )
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+    def test_fixed_large_variance_parity(self, ref_gd):
+        import torch
+        ref = make_ref_diffusion(
+            ref_gd, self.betas, var_type=ref_gd.ModelVarType.FIXED_LARGE
+        )
+        model_out = RNG.normal(size=self.shape).astype(np.float32)
+        t = np.array([3, 15])
+        theirs = ref.p_mean_variance(
+            lambda x, tt, **kw: torch.from_numpy(model_out),
+            torch.from_numpy(self.noise), torch.from_numpy(t),
+            clip_denoised=False, model_kwargs={"y": {}},
+        )
+        ours = G.p_mean_variance(
+            self.sched, jnp.asarray(model_out), jnp.asarray(self.noise),
+            jnp.asarray(t), mean_type=MeanType.START_X,
+            var_type=VarType.FIXED_LARGE,
+        )
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(ours.log_variance), self.shape),
+            theirs["log_variance"].numpy(), atol=1e-5,
+        )
+
+    def test_ddim_string_respacing(self, ref_gd, ref_spaced):
+        """Schedule.create with a 'ddimN' spec matches the reference."""
+        SpacedDiffusion, ref_space = ref_spaced
+        sched = Schedule.create("cosine", 1000, timestep_respacing="ddim25")
+        betas = named_beta_schedule("cosine", 1000)
+        ref = SpacedDiffusion(
+            use_timesteps=ref_space(1000, "ddim25"), betas=betas,
+            model_mean_type=ref_gd.ModelMeanType.START_X,
+            model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
+            loss_type=ref_gd.LossType.MSE,
+        )
+        assert sched.num_timesteps == 25
+        np.testing.assert_allclose(np.asarray(sched.timestep_map), ref.timestep_map)
