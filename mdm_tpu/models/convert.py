@@ -172,10 +172,9 @@ def load_torch_checkpoint(path: str, use_ema: bool = True) -> Dict[str, np.ndarr
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    if use_ema and isinstance(sd, dict) and "model_avg" in sd:
-        sd = sd["model_avg"]
-    elif isinstance(sd, dict) and "model" in sd and not any(
-        k.endswith(".weight") for k in list(sd)[:5]
-    ):
-        sd = sd["model"]
+    # Wrapped formats hold exactly the {'model'[, 'model_avg']} sub-dicts
+    # (training_loop.py:419-423); raw state_dicts hold tensor leaves.
+    is_wrapped = isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict)
+    if is_wrapped:
+        sd = sd["model_avg"] if (use_ema and "model_avg" in sd) else sd["model"]
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}

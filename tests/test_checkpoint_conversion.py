@@ -146,3 +146,28 @@ def test_prefix_completion_parity(ref_mdm_cls):
     )
     got = np.asarray(ours.apply(params, jnp.asarray(x), jnp.asarray(t), cond))
     np.testing.assert_allclose(got, theirs, atol=3e-5)
+
+
+def test_load_torch_checkpoint_formats(tmp_path):
+    """All three reference save formats load correctly."""
+    import torch
+
+    from mdm_tpu.models.convert import load_torch_checkpoint
+
+    raw = {"embed_timestep.sequence_pos_encoder.pe": torch.zeros(3),
+           "input_process.poseEmbedding.weight": torch.ones(2, 2)}
+    torch.save(raw, tmp_path / "raw.pt")
+    out = load_torch_checkpoint(str(tmp_path / "raw.pt"))
+    assert "input_process.poseEmbedding.weight" in out
+
+    wrapped = {"model": dict(raw), "model_avg": {
+        "input_process.poseEmbedding.weight": torch.full((2, 2), 5.0)}}
+    torch.save(wrapped, tmp_path / "w.pt")
+    ema = load_torch_checkpoint(str(tmp_path / "w.pt"), use_ema=True)
+    assert ema["input_process.poseEmbedding.weight"][0, 0] == 5.0
+    noema = load_torch_checkpoint(str(tmp_path / "w.pt"), use_ema=False)
+    assert noema["input_process.poseEmbedding.weight"][0, 0] == 1.0
+
+    torch.save({"model": dict(raw)}, tmp_path / "m.pt")
+    m = load_torch_checkpoint(str(tmp_path / "m.pt"), use_ema=True)
+    assert m["input_process.poseEmbedding.weight"][0, 0] == 1.0
