@@ -99,11 +99,9 @@ def test_full_forward_parity(ref_mdm_cls, arch):
 
     with torch.no_grad():
         y = {
-            "text_embed": torch.from_numpy(text_embed[None].repeat(1, 0)[0][None])
-            if False else torch.from_numpy(text_embed).unsqueeze(0),  # [1, B, 512]
+            "text_embed": torch.from_numpy(text_embed).unsqueeze(0),  # [1, B, 512]
             "mask": torch.ones(B, 1, 1, T, dtype=torch.bool),
         }
-        x_ref = torch.from_numpy(np.transpose(x, (0, 2, 1))[:, :, None]).permute(0, 1, 2, 3)
         # reference layout [B, njoints, nfeats, T]
         x_ref = torch.from_numpy(x.transpose(0, 2, 1)[:, :, None, :])
         out_ref = ref(x_ref, torch.from_numpy(t), y).numpy()  # [B, J, 1, T]
