@@ -156,3 +156,22 @@ def test_train_action_conditioned(tmp_path, synthetic_humanact12, monkeypatch):
     with open(os.path.join(save_dir, "args.json")) as f:
         saved = json.load(f)
     assert saved["cond_mode"] == "action"
+
+
+def test_train_unconstrained(tmp_path, synthetic_humanact12, monkeypatch):
+    """Unconstrained (no_cond) training path through the CLI."""
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_uncond")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanact12", "--unconstrained",
+        "--data_dir", synthetic_humanact12,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--num_frames", "60", "--cond_mask_prob", "0",
+    ])
+    with open(os.path.join(save_dir, "args.json")) as f:
+        saved = json.load(f)
+    assert saved["cond_mode"] == "no_cond"
+    assert any(f.startswith("ckpt_") for f in os.listdir(save_dir))
