@@ -28,6 +28,10 @@ jax.config.update("jax_platforms", "cpu")
 # on every backend (TPU would otherwise default to bf16 passes).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: repeat suite runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mdm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"
 
