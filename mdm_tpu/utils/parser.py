@@ -97,6 +97,8 @@ def add_training_options(parser):
     g.add_argument("--target_joint_names", default="DIMP_FINAL", type=str)
     g.add_argument("--autoregressive", action="store_true")
     g.add_argument("--autoregressive_include_prefix", action="store_true")
+    # accepted for reference CLI compatibility; declared-but-unused upstream
+    g.add_argument("--autoregressive_init", default="data", choices=["data", "isaac"])
 
 
 def add_sampling_options(parser):
@@ -108,6 +110,7 @@ def add_sampling_options(parser):
     g.add_argument("--guidance_param", default=2.5, type=float)
     g.add_argument("--autoregressive", action="store_true")
     g.add_argument("--autoregressive_include_prefix", action="store_true")
+    g.add_argument("--autoregressive_init", default="data", choices=["data", "isaac"])
 
 
 def add_generate_options(parser):
