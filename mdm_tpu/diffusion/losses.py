@@ -96,6 +96,10 @@ class LossConfig:
     # a2m foot-contact joint indices (SMPL: L_Ankle, L_Foot, R_Ankle, R_Foot)
     fc_joints: tuple = (7, 10, 8, 11)
     fc_threshold: float = 0.01
+    # vel_mse excludes the trailing root-translation row (reference
+    # gaussian_diffusion.py:1337 slices off the last joint). In the flat
+    # [B, T, D] layout that is the last `nfeats` features (6 for a2m rot6d).
+    vel_drop_last_feats: int = 0
 
 
 def training_losses(
@@ -152,11 +156,10 @@ def training_losses(
         terms["fc"] = masked_l2(pred_vel, jnp.zeros_like(pred_vel), mask[..., None][:, 1:])
 
     if config.lambda_vel > 0:
-        # Velocity on all but the reference's "last joint" (root translation
-        # row in the a2m [.., J, 6] layout). In [B,T,D] that is the last
-        # nfeats block; callers using hml_vec don't enable this term.
-        tv = target[:, 1:] - target[:, :-1]
-        pv = model_output[:, 1:] - model_output[:, :-1]
+        d = config.vel_drop_last_feats
+        sl = slice(None, -d if d > 0 else None)
+        tv = target[:, 1:, sl] - target[:, :-1, sl]
+        pv = model_output[:, 1:, sl] - model_output[:, :-1, sl]
         terms["vel_mse"] = masked_l2(tv, pv, mask[:, 1:])
 
     if config.lambda_target_loc > 0:

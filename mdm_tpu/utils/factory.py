@@ -59,6 +59,9 @@ def create_schedule(args, timestep_respacing: Optional[str] = None) -> Schedule:
 
 
 def create_loss_config(args) -> LossConfig:
+    # a2m (rot6d) motions carry the root translation as a trailing 6-feature
+    # row that the velocity loss excludes (reference gaussian_diffusion.py:1337).
+    vel_drop = 6 if args.dataset in ("humanact12", "uestc") else 0
     return LossConfig(
         mean_type=MeanType.START_X,  # MDM always predicts x0
         var_type=VarType.FIXED_SMALL if getattr(args, "sigma_small", True) else VarType.FIXED_LARGE,
@@ -66,6 +69,7 @@ def create_loss_config(args) -> LossConfig:
         lambda_vel=getattr(args, "lambda_vel", 0.0),
         lambda_fc=getattr(args, "lambda_fc", 0.0),
         lambda_target_loc=getattr(args, "lambda_target_loc", 0.0),
+        vel_drop_last_feats=vel_drop,
     )
 
 

@@ -564,3 +564,37 @@ class TestMoreSamplerParity:
         )
         assert sched.num_timesteps == 25
         np.testing.assert_allclose(np.asarray(sched.timestep_map), ref.timestep_map)
+
+
+def test_vel_mse_drops_root_translation_row(reference_path):
+    """vel_mse parity with the reference's last-joint exclusion (a2m layout)."""
+    import torch
+
+    betas = named_beta_schedule("cosine", 30)
+    sched = Schedule.from_betas(betas)
+    B, T, J, F = 3, 12, 25, 6
+    D = J * F
+    rng = np.random.default_rng(0)
+    target = rng.normal(size=(B, T, D)).astype(np.float32)
+    out = rng.normal(size=(B, T, D)).astype(np.float32)
+    lengths = np.array([12, 8, 5])
+    mask = (np.arange(T)[None] < lengths[:, None])[..., None]
+
+    terms = L.training_losses(
+        sched, jnp.asarray(out), jnp.asarray(target),
+        jnp.asarray(target), jnp.asarray(np.zeros(B, np.int64)),
+        jnp.asarray(np.zeros_like(target)), jnp.asarray(mask),
+        L.LossConfig(lambda_vel=1.0, vel_drop_last_feats=F),
+    )
+
+    from utils.loss_util import masked_l2 as ref_masked_l2
+    # reference layout [B, J, F, T]
+    t_ref = target.reshape(B, T, J, F).transpose(0, 2, 3, 1)
+    o_ref = out.reshape(B, T, J, F).transpose(0, 2, 3, 1)
+    tv = torch.from_numpy(t_ref[..., 1:] - t_ref[..., :-1])
+    ov = torch.from_numpy(o_ref[..., 1:] - o_ref[..., :-1])
+    m_ref = torch.from_numpy(
+        (np.arange(T)[None] < lengths[:, None]).reshape(B, 1, 1, T)[..., 1:]
+    )
+    expected = ref_masked_l2(tv[:, :-1], ov[:, :-1], m_ref).numpy()
+    np.testing.assert_allclose(np.asarray(terms["vel_mse"]), expected, rtol=1e-4)
