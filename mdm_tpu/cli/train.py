@@ -95,8 +95,25 @@ def main(argv=None):
         cond_mask_prob=args.cond_mask_prob,
     )
 
+    # Geometric losses (rcxyz / vel_rcxyz / fc) decode rot6d -> joints via the
+    # differentiable SMPL layer inside the loss graph (reference
+    # gaussian_diffusion.py:1241-1347).
+    get_xyz = None
+    if (args.lambda_rcxyz > 0 or args.lambda_fc > 0) and args.dataset in (
+        "humanact12", "uestc",
+    ):
+        from ..smpl import Rot2XYZConfig, SMPLModel, rot2xyz
+
+        smpl_model = SMPLModel.load()
+        r2x_cfg = Rot2XYZConfig(jointstype="smpl", vertstrans=False)
+
+        def get_xyz(feats):
+            r6 = feats.reshape(feats.shape[0], feats.shape[1], 25, 6)
+            return rot2xyz(smpl_model, r6, r2x_cfg)
+
     step = make_train_step(
-        model.apply, sched, config, target_loss_builder=target_loss_builder
+        model.apply, sched, config, get_xyz=get_xyz,
+        target_loss_builder=target_loss_builder,
     )
     state = create_train_state(params, config.optim)
 

@@ -58,3 +58,58 @@ def test_target_loss_training_step():
     assert "target_loc" in metrics
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["target_loc"]) > 0
+
+
+def test_geometric_losses_with_smpl_in_train_step():
+    """rcxyz + fc losses through a (synthetic) SMPL decode in the jitted
+    train step — the differentiable-FK-inside-loss-graph capability."""
+    from mdm_tpu.smpl import Rot2XYZConfig, SMPLModel, rot2xyz
+
+    rng = np.random.default_rng(7)
+    V, J = 40, 24
+    parents = np.array(
+        [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19, 20, 21]
+    )
+    jr = rng.random((J, V)) ** 4
+    w = rng.random((V, J)) ** 4
+    smpl = SMPLModel(
+        v_template=rng.normal(size=(V, 3)).astype(np.float32),
+        shapedirs=(rng.normal(size=(V, 3, 10)) * 0.01).astype(np.float32),
+        posedirs=(rng.normal(size=((J - 1) * 9, V * 3)) * 0.001).astype(np.float32),
+        j_regressor=(jr / jr.sum(1, keepdims=True)).astype(np.float32),
+        parents=parents,
+        lbs_weights=(w / w.sum(1, keepdims=True)).astype(np.float32),
+        extra_vertex_ids=np.arange(21, dtype=np.int32),
+    )
+    r2x = Rot2XYZConfig(jointstype="smpl", vertstrans=False)
+
+    def get_xyz(feats):
+        r6 = feats.reshape(feats.shape[0], feats.shape[1], 25, 6)
+        return rot2xyz(smpl, r6, r2x)
+
+    make_mesh()
+    Ba, Ta, Da = 8, 10, 150
+    cfg = MDMConfig(njoints=25, nfeats=6, latent_dim=32, ff_size=64,
+                    num_layers=2, num_heads=4, data_rep="rot6d",
+                    cond_mode="action", num_actions=12)
+    model = MDM(cfg)
+    cond = Conditioning(frames_mask=jnp.ones((Ba, Ta), bool),
+                        action=jnp.asarray(rng.integers(0, 12, Ba)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((Ba, Ta, Da)),
+                        jnp.zeros((Ba,), jnp.int32), cond)["params"]
+    sched = Schedule.create("cosine", 16)
+    config = TrainStepConfig(
+        loss=LossConfig(lambda_rcxyz=1.0, lambda_fc=1.0, lambda_vel=1.0,
+                        vel_drop_last_feats=6),
+        optim=OptimConfig(lr=1e-3),
+    )
+    step = make_train_step(model.apply, sched, config, get_xyz=get_xyz)
+    state = create_train_state(params, config.optim)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(Ba, Ta, Da)).astype(np.float32)),
+        "mask": jnp.ones((Ba, Ta), bool),
+        "cond": cond,
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("rcxyz_mse", "fc", "vel_mse"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
