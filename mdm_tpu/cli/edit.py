@@ -74,8 +74,11 @@ def main(argv=None):
     else:
         guidance = 0.0
 
+    from ..sampling.pipeline import dataset_norm_stats
+
     gen = MotionGenerator(
-        model, params, sched, GenerationConfig(guidance_scale=guidance), args.dataset
+        model, params, sched, GenerationConfig(guidance_scale=guidance), args.dataset,
+        norm_stats=dataset_norm_stats(args.data_dir or None),
     )
     feats = gen.sample_features(
         cond, B, T, jax.random.PRNGKey(args.seed),

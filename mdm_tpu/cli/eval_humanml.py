@@ -59,11 +59,16 @@ def main(argv=None):
         ckpt = found[0]
     params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
 
+    from ..sampling.pipeline import dataset_norm_stats, load_norm_stats
+
+    train_stats = dataset_norm_stats(args.data_dir or None)
+    eval_mean, eval_std = dataset.mean, dataset.std  # evaluator-family stats
     gen = MotionGenerator(
         model, params, sched,
         GenerationConfig(guidance_scale=args.guidance_param,
                          autoregressive=args.autoregressive),
         args.dataset,
+        norm_stats=train_stats,
     )
     embedder = make_text_embedder(args.text_encoder_type)
 
@@ -83,6 +88,9 @@ def main(argv=None):
         mm_loader_fns = {
             "vald": lambda rep: MMGeneratedLoader(
                 gen, gt_batches, text_embedder, seed=rep,
+                model_mean=train_stats[0] if train_stats else None,
+                model_std=train_stats[1] if train_stats else None,
+                eval_mean=eval_mean, eval_std=eval_std,
             )
         }
     summary = evaluation(

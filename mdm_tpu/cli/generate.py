@@ -114,6 +114,8 @@ def main(argv=None):
     else:
         cond = cond0
 
+    from ..sampling.pipeline import dataset_norm_stats
+
     gen = MotionGenerator(
         model, params, sched,
         GenerationConfig(
@@ -123,6 +125,7 @@ def main(argv=None):
             pred_len=model.config.pred_len,
         ),
         args.dataset,
+        norm_stats=dataset_norm_stats(args.data_dir or None),
     )
 
     all_motions, all_text = [], []

@@ -203,6 +203,8 @@ class MMGeneratedLoader:
         seed: int = 0,
         model_mean: Optional[np.ndarray] = None,
         model_std: Optional[np.ndarray] = None,
+        eval_mean: Optional[np.ndarray] = None,
+        eval_std: Optional[np.ndarray] = None,
     ):
         self.generator = generator
         self.gt_batches = gt_batches
@@ -212,6 +214,8 @@ class MMGeneratedLoader:
         self.seed = seed
         self.model_mean = model_mean
         self.model_std = model_std
+        self.eval_mean = eval_mean
+        self.eval_std = eval_std
 
     def __iter__(self):
         import jax
@@ -235,9 +239,9 @@ class MMGeneratedLoader:
                 **embeds,
             )
             feats = np.asarray(self.generator.sample_features(cond, R, T, sub))
-            if self.model_mean is not None:
+            if self.model_mean is not None and self.eval_mean is not None:
                 feats = feats * self.model_std + self.model_mean
-                feats = (feats - self.generator.mean) / self.generator.std
+                feats = (feats - self.eval_mean) / self.eval_std
             count += 1
             yield {
                 "x": feats,
@@ -250,8 +254,10 @@ class GeneratedMotionLoader:
     eval-ready batches (reference CompMDMGeneratedDataset,
     data_loaders/humanml/motion_loaders/comp_v6_model_dataset.py:148-285).
 
-    The generator produces model-normalized features; they are converted to
-    the evaluator's normalization via (denorm model) -> (norm eval).
+    The generator produces model-normalized features; when the model's
+    (train) stats and the evaluator's stats are given, they are converted
+    via (denorm model stats) -> (renorm eval stats) — the reference's
+    renormalization in CompMDMGeneratedDataset.
     """
 
     def __init__(
@@ -262,6 +268,8 @@ class GeneratedMotionLoader:
         seed: int = 0,
         model_mean: Optional[np.ndarray] = None,
         model_std: Optional[np.ndarray] = None,
+        eval_mean: Optional[np.ndarray] = None,
+        eval_std: Optional[np.ndarray] = None,
     ):
         self.generator = generator
         self.gt_batches = gt_batches
@@ -269,6 +277,8 @@ class GeneratedMotionLoader:
         self.seed = seed
         self.model_mean = model_mean
         self.model_std = model_std
+        self.eval_mean = eval_mean
+        self.eval_std = eval_std
 
     def __iter__(self):
         import jax
@@ -285,9 +295,9 @@ class GeneratedMotionLoader:
                 **embeds,
             )
             feats = np.asarray(self.generator.sample_features(cond, B, T, sub))
-            if self.model_mean is not None:
+            if self.model_mean is not None and self.eval_mean is not None:
                 feats = feats * self.model_std + self.model_mean
-                feats = (feats - self.generator.mean) / self.generator.std
+                feats = (feats - self.eval_mean) / self.eval_std
             out = dict(batch)
             out["x"] = feats
             # Autoregressive (DiP) eval scores against the clip's original

@@ -24,11 +24,21 @@ STATS_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets", "stats
 
 
 def load_norm_stats(dataset: str = "humanml"):
-    """Z-normalization stats for the hml_vec codec (data assets)."""
+    """Bundled evaluator-family stats (assets/stats) — fallback only."""
     prefix = "t2m" if dataset == "humanml" else "kit"
     mean = np.load(os.path.join(STATS_DIR, f"{prefix}_mean.npy"))
     std = np.load(os.path.join(STATS_DIR, f"{prefix}_std.npy"))
     return mean.astype(np.float32), std.astype(np.float32)
+
+
+def dataset_norm_stats(data_root: Optional[str]):
+    """The dataset's TRAIN stats (Mean/Std.npy) if present, else None."""
+    if not data_root:
+        return None
+    mp, sp = os.path.join(data_root, "Mean.npy"), os.path.join(data_root, "Std.npy")
+    if os.path.exists(mp) and os.path.exists(sp):
+        return np.load(mp).astype(np.float32), np.load(sp).astype(np.float32)
+    return None
 
 
 @dataclass(frozen=True)
@@ -57,14 +67,25 @@ class MotionGenerator:
         sched: Schedule,
         config: GenerationConfig = GenerationConfig(),
         dataset: str = "humanml",
+        norm_stats=None,
     ):
+        """norm_stats: (mean, std) the MODEL was trained with (the dataset's
+        Mean/Std.npy — reference inv_transform, dataset.py:309-310). Falls
+        back to the bundled t2m/kit stats when not provided (close but not
+        identical; pass the real train stats whenever the data dir exists).
+        """
         self.model = model
         self.params = params
         self.sched = sched
         self.config = config
         self.dataset = dataset
         self.joints_num = 22 if dataset == "humanml" else 21
-        if model.config.data_rep == "hml_vec":
+        if norm_stats is not None:
+            self.mean, self.std = (
+                np.asarray(norm_stats[0], np.float32),
+                np.asarray(norm_stats[1], np.float32),
+            )
+        elif model.config.data_rep == "hml_vec":
             self.mean, self.std = load_norm_stats(dataset)
         else:
             self.mean = self.std = None
