@@ -33,12 +33,19 @@ def main(argv=None):
     w_vec = None
     if os.path.exists(os.path.join(glove_dir, "our_vab_data.npy")):
         w_vec = WordVectorizer(glove_dir, "our_vab")
+    # DiP (autoregressive) evaluation feeds fixed-length prefix windows
+    # (reference eval_humanml.py:295-300 with fixed_len loaders).
+    fixed_len = (args.context_len + args.pred_len) if args.autoregressive else 0
     dataset = get_dataset(
         args.dataset, split=args.eval_split if hasattr(args, "eval_split") else "test",
         hml_mode="eval", data_root=args.data_dir or None,
+        fixed_len=fixed_len,
     )
     dataset.w_vectorizer = w_vec
-    gt_batches = list(BatchIterator(dataset, 32, shuffle=True, seed=0, infinite=False))
+    gt_batches = list(BatchIterator(
+        dataset, 32, shuffle=True, seed=0, infinite=False,
+        pred_len=args.pred_len if args.autoregressive else 0,
+    ))
 
     # Model.
     model, sched = create_model_and_schedule(args)

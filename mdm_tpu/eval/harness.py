@@ -292,9 +292,19 @@ class GeneratedMotionLoader:
             key, sub = jax.random.split(key)
             cond = Conditioning(
                 frames_mask=np.asarray(batch["mask"]),
+                prefix=np.asarray(batch["prefix"]) if "prefix" in batch else None,
                 **embeds,
             )
-            feats = np.asarray(self.generator.sample_features(cond, B, T, sub))
+            if self.generator.config.autoregressive:
+                # DiP eval: generate to the clip's original length.
+                T_out = int(np.max(batch.get("orig_lengths", [T])))
+                feats = np.asarray(
+                    self.generator.sample_autoregressive(
+                        cond, B, sub, required_frames=T_out
+                    )
+                )
+            else:
+                feats = np.asarray(self.generator.sample_features(cond, B, T, sub))
             if self.model_mean is not None and self.eval_mean is not None:
                 feats = feats * self.model_std + self.model_mean
                 feats = (feats - self.eval_mean) / self.eval_std
