@@ -31,6 +31,10 @@ __all__ = [
     "matrix_to_quaternion",
     "quaternion_to_cont6d",
     "cont6d_to_matrix",
+    "expmap_to_quaternion",
+    "qpow",
+    "qslerp",
+    "lerp",
 ]
 
 
@@ -234,3 +238,56 @@ def cont6d_to_matrix(c: jnp.ndarray) -> jnp.ndarray:
     z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
     y = jnp.cross(z, x)
     return jnp.stack([x, y, z], axis=-1)
+
+
+def expmap_to_quaternion(e: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle / exponential map ``(..., 3)`` -> quaternion ``(..., 4)``.
+
+    Stable half-angle sinc form (reference quaternion.py:216-232).
+    """
+    theta = jnp.linalg.norm(e, axis=-1, keepdims=True)
+    w = jnp.cos(0.5 * theta)
+    xyz = 0.5 * jnp.sinc(0.5 * theta / jnp.pi) * e
+    return jnp.concatenate([w, xyz], axis=-1)
+
+
+def qpow(q0: jnp.ndarray, t) -> jnp.ndarray:
+    """Quaternion power ``q0 ** t`` (reference quaternion.py:346-369).
+
+    Scalar ``t`` -> ``q0.shape``; array ``t`` -> ``t.shape + q0.shape``
+    (each power applied to every quaternion, as in the reference).
+    """
+    q0 = qnormalize(q0)
+    theta0 = jnp.arccos(jnp.clip(q0[..., 0], -1.0, 1.0))
+    theta0 = jnp.where(jnp.abs(theta0) <= 1e-9, 1e-9, theta0)
+    v0 = q0[..., 1:] / jnp.sin(theta0)[..., None]
+    t = jnp.asarray(t, q0.dtype)
+    if t.ndim:
+        theta = t.reshape(t.shape + (1,) * theta0.ndim) * theta0
+        v0 = jnp.broadcast_to(v0, t.shape + v0.shape)
+    else:
+        theta = t * theta0
+    return jnp.concatenate(
+        [jnp.cos(theta)[..., None], v0 * jnp.sin(theta)[..., None]], axis=-1
+    )
+
+
+def qslerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
+    """Spherical interpolation q0 -> q1 at point(s) ``t``
+    (reference quaternion.py:371-385). Array ``t`` -> ``t.shape + q0.shape``.
+    """
+    q0 = qnormalize(q0)
+    q1 = qnormalize(q1)
+    q_ = qpow(qmul(q1, qinv(q0)), t)
+    t = jnp.asarray(t)
+    if t.ndim:
+        q0 = jnp.broadcast_to(q0, t.shape + q0.shape)
+    return qmul(q_, q0)
+
+
+def lerp(p0: jnp.ndarray, p1: jnp.ndarray, t) -> jnp.ndarray:
+    """Linear interpolation, result ``t.shape + p0.shape`` with ``t``
+    promoted to at least rank 1 (reference quaternion.py:414-425)."""
+    t = jnp.atleast_1d(jnp.asarray(t, p0.dtype))
+    tb = t.reshape(t.shape + (1,) * p0.ndim)
+    return p0 * (1.0 - tb) + p1 * tb

@@ -99,6 +99,60 @@ class TestQuaternions:
             atol=1e-5,
         )
 
+    def test_expmap_to_quaternion(self, ref):
+        e = (RNG.normal(size=(11, 3)) * 1.5).astype(np.float32)
+        e[0] = 0.0  # zero-rotation corner
+        np.testing.assert_allclose(
+            np.asarray(Q.expmap_to_quaternion(jnp.asarray(e))),
+            ref.expmap_to_quaternion(e),
+            atol=1e-5,
+        )
+
+    def test_qpow_qslerp_lerp(self, ref):
+        import torch
+
+        # The reference qpow crashes on torch 2.x (`1 - bool_mask`,
+        # quaternion.py:354) for ALL inputs, so — as with PLMS order=1 —
+        # the oracle is a numpy re-derivation of the same formula.
+        def np_qnorm(q):
+            q = q.copy()
+            q[..., -1] += 1e-4
+            return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+        def np_qpow(q0, t):
+            q0 = np_qnorm(q0)
+            theta0 = np.arccos(np.clip(q0[..., 0], -1.0, 1.0))
+            theta0 = np.where(np.abs(theta0) <= 1e-9, 1e-9, theta0)
+            v0 = q0[..., 1:] / np.sin(theta0)[..., None]
+            theta = t.reshape(t.shape + (1,) * theta0.ndim) * theta0
+            return np.concatenate(
+                [
+                    np.cos(theta)[..., None],
+                    np.broadcast_to(v0, t.shape + v0.shape) * np.sin(theta)[..., None],
+                ],
+                axis=-1,
+            )
+
+        q0, q1 = random_quats(5), random_quats(5)
+        t = np.linspace(0.0, 1.0, 4).astype(np.float32)
+        ours = np.asarray(Q.qpow(jnp.asarray(q0), jnp.asarray(t)))
+        np.testing.assert_allclose(ours, np_qpow(q0, t), atol=1e-5)
+
+        s = np.asarray(Q.qslerp(jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(t)))
+        # endpoints (up to the 1e-4 norm-guard and quaternion sign)
+        np.testing.assert_allclose(np.abs((s[0] * q0).sum(-1)), 1.0, atol=1e-3)
+        np.testing.assert_allclose(np.abs((s[-1] * q1).sum(-1)), 1.0, atol=1e-3)
+        # all interpolants are unit quaternions
+        np.testing.assert_allclose(np.linalg.norm(s, axis=-1), 1.0, atol=1e-4)
+
+        p0 = RNG.normal(size=(5, 3)).astype(np.float32)
+        p1 = RNG.normal(size=(5, 3)).astype(np.float32)
+        ours = np.asarray(Q.lerp(jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(t)))
+        theirs = ref.lerp(
+            torch.from_numpy(p0), torch.from_numpy(p1), torch.from_numpy(t)
+        ).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
 
 class TestRotationConversions:
     def test_rotation_6d(self, ref_rot):
