@@ -30,6 +30,9 @@ __all__ = [
     "quaternion_multiply",
     "quaternion_invert",
     "quaternion_apply",
+    "random_quaternions",
+    "random_rotations",
+    "random_rotation",
 ]
 
 
@@ -192,3 +195,24 @@ def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
 
 def matrix_to_rotation_6d(matrix: jnp.ndarray) -> jnp.ndarray:
     return matrix[..., :2, :].reshape(matrix.shape[:-2] + (6,))
+
+
+def random_quaternions(key, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """``n`` uniform random unit quaternions with non-negative real part
+    (reference rotation_conversions.py random_quaternions; PRNG key replaces
+    torch's global generator)."""
+    import jax
+
+    q = jax.random.normal(key, (n, 4), dtype)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return standardize_quaternion(q)
+
+
+def random_rotations(key, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """``n`` uniform random rotation matrices ``[n, 3, 3]``."""
+    return quaternion_to_matrix(random_quaternions(key, n, dtype))
+
+
+def random_rotation(key, dtype=jnp.float32) -> jnp.ndarray:
+    """One uniform random rotation matrix ``[3, 3]``."""
+    return random_rotations(key, 1, dtype)[0]

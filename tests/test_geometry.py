@@ -204,6 +204,21 @@ class TestRotationConversions:
             np.testing.assert_allclose(back, back_ref, atol=1e-4)
 
 
+class TestRandomRotations:
+    def test_random_rotations_are_valid(self):
+        import jax
+
+        m = np.asarray(R.random_rotations(jax.random.PRNGKey(3), 16))
+        np.testing.assert_allclose(
+            m @ m.transpose(0, 2, 1), np.broadcast_to(np.eye(3), (16, 3, 3)), atol=1e-5
+        )
+        np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-5)
+        q = np.asarray(R.random_quaternions(jax.random.PRNGKey(3), 16))
+        assert (q[:, 0] >= 0).all()
+        np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+        assert R.random_rotation(jax.random.PRNGKey(0)).shape == (3, 3)
+
+
 class TestSkeletonFK:
     def _reference_skeleton(self, reference_path):
         import torch
