@@ -104,8 +104,14 @@ def qfix(q: np.ndarray) -> np.ndarray:
     return out
 
 
-def qeuler(q: jnp.ndarray, order: str, epsilon: float = 0.0) -> jnp.ndarray:
-    """Quaternion -> Euler angles (radians) for the given axis order."""
+def qeuler(
+    q: jnp.ndarray, order: str, epsilon: float = 0.0, deg: bool = False
+) -> jnp.ndarray:
+    """Quaternion -> Euler angles for the given axis order.
+
+    Radians by default; ``deg=True`` matches the reference's default output
+    units (quaternion.py:78-127).
+    """
     q0, q1, q2, q3 = (q[..., i] for i in range(4))
     clip = lambda x: jnp.clip(x, -1.0 + epsilon, 1.0 - epsilon)
     if order == "xyz":
@@ -134,7 +140,8 @@ def qeuler(q: jnp.ndarray, order: str, epsilon: float = 0.0) -> jnp.ndarray:
         z = jnp.arctan2(2 * (q0 * q3 + q1 * q2), 1 - 2 * (q2 * q2 + q3 * q3))
     else:
         raise ValueError(f"unknown euler order {order!r}")
-    return jnp.stack([x, y, z], axis=-1)
+    out = jnp.stack([x, y, z], axis=-1)
+    return out * (180.0 / jnp.pi) if deg else out
 
 
 def euler_to_quaternion(e: jnp.ndarray, order: str, deg: bool = True) -> jnp.ndarray:

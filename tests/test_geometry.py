@@ -92,6 +92,12 @@ class TestQuaternions:
                 ref.qeuler(torch.from_numpy(q), order, deg=False).numpy(),
                 atol=1e-4,
             )
+        # deg=True path matches the reference's default output units
+        np.testing.assert_allclose(
+            np.asarray(Q.qeuler(jnp.asarray(q), "xyz", deg=True)),
+            ref.qeuler(torch.from_numpy(q), "xyz", deg=True).numpy(),
+            atol=1e-3,
+        )
         e = (RNG.uniform(-0.9, 0.9, size=(9, 3)) * 90).astype(np.float32)
         np.testing.assert_allclose(
             np.asarray(Q.euler_to_quaternion(jnp.asarray(e), "yxz", deg=True)),
