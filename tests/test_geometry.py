@@ -302,6 +302,17 @@ class TestHmlCodec:
         theirs = ref_recover(torch.from_numpy(data), 22).numpy()
         np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
+    def test_recover_from_ric_kit(self, reference_path):
+        """KIT family: 21 joints / 251-dim feature vector."""
+        import torch
+        from data_loaders.humanml.scripts.motion_process import (
+            recover_from_ric as ref_recover,
+        )
+        data = RNG.normal(size=(2, 30, 251)).astype(np.float32) * 0.1
+        ours = np.asarray(hml_codec.recover_from_ric(jnp.asarray(data), 21))
+        theirs = ref_recover(torch.from_numpy(data), 21).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
     def test_recover_rot(self, reference_path):
         import torch
         from data_loaders.humanml.scripts.motion_process import recover_rot as ref_rr
