@@ -162,6 +162,35 @@ class TestMetrics:
         far_mean, _ = M.calculate_kid(a, a + 2.0, n_subsets=5, subset_size=40)
         assert far_mean > same_mean
 
+    def test_kid_mmd_oracle(self, reference_path):
+        """polynomial_mmd matches the reference's unbiased MMD^2 estimator
+        (eval/unconstrained/metrics/kid.py:30-41)."""
+        pytest.importorskip("sklearn")
+        from eval.unconstrained.metrics.kid import polynomial_mmd as ref_mmd
+
+        g = RNG.normal(size=(60, 16))
+        r = RNG.normal(size=(60, 16)) + 0.3
+        ours = M.polynomial_mmd(g, r)
+        theirs = ref_mmd(g, r, ret_var=False)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+    def test_precision_recall_oracle(self, reference_path):
+        """k-NN manifold precision/recall matches the reference exactly
+        (eval/unconstrained/metrics/precision_recall.py:12-53)."""
+        import torch
+        from eval.unconstrained.metrics.precision_recall import (
+            precision_and_recall as ref_pr,
+        )
+
+        gen = RNG.normal(size=(40, 6)).astype(np.float32)
+        real = (RNG.normal(size=(40, 6)) * 1.2 + 0.5).astype(np.float32)
+        ours = M.precision_and_recall(gen, real)
+        theirs = ref_pr(
+            [torch.from_numpy(x) for x in gen],
+            [torch.from_numpy(x) for x in real],
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
     def test_precision_recall_sane(self):
         real = RNG.normal(size=(100, 4))
         close = real + RNG.normal(size=real.shape) * 0.05
