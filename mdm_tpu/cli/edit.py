@@ -77,7 +77,9 @@ def main(argv=None):
     from ..sampling.pipeline import dataset_norm_stats
 
     gen = MotionGenerator(
-        model, params, sched, GenerationConfig(guidance_scale=guidance), args.dataset,
+        model, params, sched,
+        GenerationConfig(guidance_scale=guidance, sampler=args.sampler),
+        args.dataset,
         norm_stats=dataset_norm_stats(args.data_dir or None),
     )
     feats = gen.sample_features(

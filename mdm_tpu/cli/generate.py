@@ -120,6 +120,8 @@ def main(argv=None):
         model, params, sched,
         GenerationConfig(
             guidance_scale=args.guidance_param,
+            sampler=args.sampler,
+            cfg_cache_interval=args.cfg_cache_interval,
             autoregressive=args.autoregressive,
             context_len=model.config.context_len,
             pred_len=model.config.pred_len,

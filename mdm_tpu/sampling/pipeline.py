@@ -44,7 +44,7 @@ def dataset_norm_stats(data_root: Optional[str]):
 @dataclass(frozen=True)
 class GenerationConfig:
     guidance_scale: float = 2.5
-    sampler: str = "ddpm"  # ddpm | ddim | plms
+    sampler: str = "ddpm"  # ddpm | ddim | plms | dpmpp_2m
     clip_denoised: bool = False
     max_frames: int = 196
     # DiP autoregressive generation

@@ -108,6 +108,13 @@ def add_sampling_options(parser):
     g.add_argument("--num_samples", default=10, type=int)
     g.add_argument("--num_repetitions", default=3, type=int)
     g.add_argument("--guidance_param", default=2.5, type=float)
+    g.add_argument("--sampler", default="ddpm",
+                   choices=["ddpm", "ddim", "plms", "dpmpp_2m"],
+                   help="denoise loop; dpmpp_2m is the fast multistep ODE "
+                        "solver (beyond-reference, good at 10-20 steps)")
+    g.add_argument("--cfg_cache_interval", default=0, type=int,
+                   help=">1 reuses the uncond CFG branch for k steps "
+                        "(1 + 1/k forwards per step; approximate)")
     g.add_argument("--autoregressive", action="store_true")
     g.add_argument("--autoregressive_include_prefix", action="store_true")
     g.add_argument("--autoregressive_init", default="data", choices=["data", "isaac"])

@@ -72,6 +72,17 @@ def test_train_then_generate(tmp_path, synthetic_humanml, monkeypatch):
     assert results["motion"].shape[0] == 2
     assert np.isfinite(results["motion"]).all()
 
+    # fast-sampler path: --sampler dpmpp_2m through the same checkpoint
+    out_dir2 = str(tmp_path / "samples_dpmpp")
+    gen_cli.main([
+        "--model_path", os.path.join(save_dir, sorted(ckpts)[-1]),
+        "--sampler", "dpmpp_2m",
+        "--num_samples", "2", "--num_repetitions", "1",
+        "--motion_length", "1.0", "--output_dir", out_dir2, "--seed", "3",
+    ])
+    r2 = np.load(os.path.join(out_dir2, "results.npy"), allow_pickle=True).item()
+    assert np.isfinite(r2["motion"]).all()
+
 
 def test_edit_cli(tmp_path, synthetic_humanml, monkeypatch):
     from mdm_tpu.cli import edit as edit_cli
