@@ -86,6 +86,31 @@ class TestGenerate:
         )
         np.testing.assert_allclose(np.asarray(feats)[mask], gt[mask], atol=1e-5)
 
+    def test_edit_preserves_gt_all_samplers(self):
+        """The inpainting invariant must hold for every sampler the edit CLI
+        can select (--sampler), including the ODE solver."""
+        model, params = tiny_mdm()
+        sched = Schedule.create("cosine", 1000, timestep_respacing="10")
+        B, T = 2, 16
+        gt = RNG.normal(size=(B, T, 263)).astype(np.float32)
+        mask = in_between_mask(np.array([16, 12]), T, 263)
+        cond = Conditioning(
+            text_embed=jnp.asarray(RNG.normal(size=(B, 512)).astype(np.float32)),
+            frames_mask=jnp.ones((B, T), bool),
+        )
+        for sampler in ("ddim", "plms", "dpmpp_2m"):
+            gen = MotionGenerator(
+                model, params, sched, GenerationConfig(sampler=sampler), "humanml"
+            )
+            feats = gen.sample_features(
+                cond, B, T, jax.random.PRNGKey(3),
+                inpainting_mask=jnp.asarray(mask), inpainted_motion=jnp.asarray(gt),
+            )
+            np.testing.assert_allclose(
+                np.asarray(feats)[mask], gt[mask], atol=1e-5,
+                err_msg=f"sampler={sampler}",
+            )
+
     def test_upper_body_mask_shape(self):
         m = upper_body_mask(10, 3)
         assert m.shape == (3, 10, 263)
