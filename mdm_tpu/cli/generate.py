@@ -75,6 +75,11 @@ def main(argv=None):
             prompts = ["a person walks forward"] * args.num_samples
     B = min(len(prompts), args.num_samples) or args.num_samples
     prompts = prompts[:B]
+    if dynamic:
+        assert args.autoregressive, "--dynamic_text_path requires --autoregressive"
+        # each chunk prompt drives exactly one prediction window
+        # (reference generate.py:65)
+        n_frames = len(prompts[0]) * model.config.pred_len
 
     # Init + load params.
     prefix0 = None
@@ -107,10 +112,25 @@ def main(argv=None):
         print("WARNING: model_path missing; sampling with random weights")
 
     embedder = make_text_embedder(args.text_encoder_type)
+    per_chunk_cond = None
     if embedder is not None:
-        flat_prompts = [p[0] if isinstance(p, list) else p for p in prompts]
-        embeds = embedder(flat_prompts)
-        cond = cond0.replace(**{k: jnp.asarray(v) for k, v in embeds.items()})
+        if dynamic:
+            # One prompt per autoregressive prediction window (reference
+            # generate.py:59-65,134-142 + sampler_util.py:41-81): embed each
+            # chunk once, swap the text conditioning per chunk.
+            chunks = prompts[0]
+            chunk_embeds = [embedder([c] * B) for c in chunks]
+            cond = cond0.replace(
+                **{k: jnp.asarray(v) for k, v in chunk_embeds[0].items()}
+            )
+
+            def per_chunk_cond(i, c):
+                e = chunk_embeds[min(i, len(chunk_embeds) - 1)]
+                return c.replace(**{k: jnp.asarray(v) for k, v in e.items()})
+        else:
+            flat_prompts = [p[0] if isinstance(p, list) else p for p in prompts]
+            embeds = embedder(flat_prompts)
+            cond = cond0.replace(**{k: jnp.asarray(v) for k, v in embeds.items()})
     else:
         cond = cond0
 
@@ -134,7 +154,16 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     for rep in range(args.num_repetitions):
         key, sub = jax.random.split(key)
-        out = gen.generate(cond, B, n_frames, sub)
+        if per_chunk_cond is not None:
+            feats = gen.sample_autoregressive(
+                cond, B, sub, required_frames=n_frames,
+                per_chunk_cond=per_chunk_cond,
+            )
+            out = {"features": feats}
+            if gen.mean is not None:
+                out["joints"] = gen.features_to_joints(feats)
+        else:
+            out = gen.generate(cond, B, n_frames, sub)
         joints = np.asarray(out.get("joints", out["features"]))
         all_motions.append(joints)
         all_text += [p if isinstance(p, str) else " | ".join(p) for p in prompts]

@@ -186,3 +186,48 @@ def test_train_unconstrained(tmp_path, synthetic_humanact12, monkeypatch):
         saved = json.load(f)
     assert saved["cond_mode"] == "no_cond"
     assert any(f.startswith("ckpt_") for f in os.listdir(save_dir))
+
+
+def test_generate_dynamic_text_autoregressive(tmp_path, synthetic_humanml, monkeypatch):
+    """--dynamic_text_path: one prompt per AR prediction window (reference
+    generate.py:59-65,134-142); the text conditioning must switch per chunk."""
+    from mdm_tpu.cli import generate as gen_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "dip")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--context_len", "4", "--pred_len", "8",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    assert ckpts
+
+    calls = []
+
+    def fake_make_embedder(_type):
+        def embed(texts):
+            calls.append(list(texts))
+            rng = np.random.default_rng(abs(hash(texts[0])) % (2 ** 32))
+            return {"text_embed": rng.normal(size=(len(texts), 512)).astype(np.float32)}
+        return embed
+
+    monkeypatch.setattr("mdm_tpu.sampling.text.make_text_embedder", fake_make_embedder)
+
+    dyn = tmp_path / "dyn.txt"
+    dyn.write_text("a person walks\na person jumps\na person sits\n")
+    out_dir = str(tmp_path / "dyn_samples")
+    gen_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--autoregressive", "--dynamic_text_path", str(dyn),
+        "--num_samples", "2", "--num_repetitions", "1",
+        "--output_dir", out_dir, "--seed", "0",
+    ])
+    results = np.load(os.path.join(out_dir, "results.npy"), allow_pickle=True).item()
+    assert results["motion"].shape[1] == 24  # 3 chunk prompts x pred_len=8
+    assert np.isfinite(results["motion"]).all()
+    flat = {t for c in calls for t in c}
+    assert {"a person walks", "a person jumps", "a person sits"} <= flat
