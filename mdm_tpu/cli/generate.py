@@ -143,6 +143,7 @@ def main(argv=None):
             sampler=args.sampler,
             cfg_cache_interval=args.cfg_cache_interval,
             autoregressive=args.autoregressive,
+            autoregressive_include_prefix=args.autoregressive_include_prefix,
             context_len=model.config.context_len,
             pred_len=model.config.pred_len,
         ),

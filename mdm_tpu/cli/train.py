@@ -135,6 +135,7 @@ def main(argv=None):
             log_interval=args.log_interval, save_interval=args.save_interval,
             eval_during_training=args.eval_during_training,
             gen_during_training=args.gen_during_training,
+            resume_checkpoint=args.resume_checkpoint,
         ),
         args=vars(args),
         platform=platform,
@@ -248,19 +249,23 @@ def make_gen_during_training(args, model, data, text_embedder):
                 cond_kw["text_embed"] = jnp.zeros((B, model.config.text_dim))
         elif "action" in batch:
             cond_kw["action"] = jnp.asarray(batch["action"][:B])
-        out = gen.generate(Conditioning(**cond_kw), B, T, jax.random.PRNGKey(step))
-        if os.environ.get("MDM_TPU_NO_RENDER") or "joints" not in out:
-            return None
-        try:
-            from ..visualize.plot_script import plot_3d_motion
-            import numpy as _np
+        paths = []
+        key = jax.random.PRNGKey(step)
+        for rep in range(max(1, args.gen_num_repetitions)):
+            key, sub = jax.random.split(key)
+            out = gen.generate(Conditioning(**cond_kw), B, T, sub)
+            if os.environ.get("MDM_TPU_NO_RENDER") or "joints" not in out:
+                continue
+            try:
+                from ..visualize.plot_script import plot_3d_motion
+                import numpy as _np
 
-            path = os.path.join(args.save_dir, f"gen_step{step:09d}.mp4")
-            return plot_3d_motion(path, _np.asarray(out["joints"])[0],
-                                  title=str(texts[0]), dataset=args.dataset)
-        except Exception as e:
-            print(f"gen_during_training render failed: {e}")
-            return None
+                path = os.path.join(args.save_dir, f"gen_step{step:09d}_rep{rep}.mp4")
+                paths.append(plot_3d_motion(path, _np.asarray(out["joints"])[0],
+                                            title=str(texts[0]), dataset=args.dataset))
+            except Exception as e:
+                print(f"gen_during_training render failed: {e}")
+        return paths or None
 
     return gen_fn
 

@@ -33,6 +33,10 @@ class LoopConfig:
     eval_during_training: bool = False
     gen_during_training: bool = False
     resume: bool = True
+    # explicit checkpoint to resume from; save_dir auto-scan wins when both
+    # exist (reference training_loop.py:131: find_resume_checkpoint() or
+    # self.resume_checkpoint)
+    resume_checkpoint: str = ""
 
 
 class TrainLoop:
@@ -66,9 +70,11 @@ class TrainLoop:
 
         if config.resume:
             found = find_resume_checkpoint(config.save_dir)
+            if not found and config.resume_checkpoint:
+                found = (config.resume_checkpoint, -1)
             if found:
                 path, step = found
-                print(f"resuming from {path} (step {step})")
+                print(f"resuming from {path}" + (f" (step {step})" if step >= 0 else ""))
                 self.state = restore_checkpoint(path, self.state)
 
     @property
@@ -105,8 +111,8 @@ class TrainLoop:
                         self.platform.report_scalar(k, v, step, group_name="Eval")
                 if self.gen_fn and cfg.gen_during_training:
                     media = self.gen_fn(self.state, step)
-                    if media:
-                        self.platform.report_media("Motion", "gen", step, media)
+                    for m in ([media] if isinstance(media, str) else media or []):
+                        self.platform.report_media("Motion", "gen", step, m)
                 if os.environ.get("MDM_TPU_TRAINING_TEST", ""):
                     print("MDM_TPU_TRAINING_TEST set: stopping after first save")
                     return

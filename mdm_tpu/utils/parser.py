@@ -25,7 +25,9 @@ def add_base_options(parser):
     g = parser.add_argument_group("base")
     g.add_argument("--seed", default=10, type=int)
     g.add_argument("--batch_size", default=64, type=int)
-    g.add_argument("--device", default=0, type=int, help="device index (TPU chip)")
+    g.add_argument("--device", default=0, type=int,
+                   help="accepted for reference-arg compat; device selection "
+                        "is mesh-driven on TPU")
     g.add_argument("--train_platform_type", default="NoPlatform", type=str,
                    choices=["NoPlatform", "Tensorboard", "WandB", "ClearML"])
 
@@ -98,7 +100,8 @@ def add_training_options(parser):
     g.add_argument("--autoregressive", action="store_true")
     g.add_argument("--autoregressive_include_prefix", action="store_true")
     # accepted for reference CLI compatibility; declared-but-unused upstream
-    g.add_argument("--autoregressive_init", default="data", choices=["data", "isaac"])
+    g.add_argument("--autoregressive_init", default="data", choices=["data", "isaac"],
+                   help="accepted for compat; unused (dead flag in the reference too)")
 
 
 def add_sampling_options(parser):
@@ -117,7 +120,8 @@ def add_sampling_options(parser):
                         "(1 + 1/k forwards per step; approximate)")
     g.add_argument("--autoregressive", action="store_true")
     g.add_argument("--autoregressive_include_prefix", action="store_true")
-    g.add_argument("--autoregressive_init", default="data", choices=["data", "isaac"])
+    g.add_argument("--autoregressive_init", default="data", choices=["data", "isaac"],
+                   help="accepted for compat; unused (dead flag in the reference too)")
 
 
 def add_generate_options(parser):

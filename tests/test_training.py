@@ -152,6 +152,18 @@ class TestLoopAndCheckpoints:
             state2 = create_train_state(params, config.optim)
             loop2 = TrainLoop(step, state2, data_gen(), loop_cfg)
             assert loop2.step == 4
+
+            # Explicit --resume_checkpoint into an EMPTY save_dir
+            # (reference training_loop.py:131 fallback).
+            ckpt = os.path.join(str(tmp_path / "run"), "ckpt_000000004")
+            loop_cfg3 = LoopConfig(
+                save_dir=str(tmp_path / "run3"), num_steps=10,
+                log_interval=2, save_interval=4,
+                resume_checkpoint=ckpt,
+            )
+            state3 = create_train_state(params, config.optim)
+            loop3 = TrainLoop(step, state3, data_gen(), loop_cfg3)
+            assert loop3.step == 4
         finally:
             os.environ.pop("MDM_TPU_TRAINING_TEST", None)
 
