@@ -35,9 +35,19 @@ def make_mesh(
     global _active_mesh
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh(n_devices={n_devices}) but only {len(devs)} JAX "
+                f"device(s) are visible (platform="
+                f"{devs[0].platform if devs else '?'}). For a virtual mesh, "
+                f"start the process with JAX_PLATFORMS=cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} (or use "
+                f"__graft_entry__.dryrun_multichip, which bootstraps this)."
+            )
         devs = devs[:n_devices]
     n = len(devs)
-    assert n % model_parallel == 0, f"{n} devices not divisible by tp={model_parallel}"
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by tp={model_parallel}")
     grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     _active_mesh = Mesh(grid, (DATA_AXIS, MODEL_AXIS))
     return _active_mesh
