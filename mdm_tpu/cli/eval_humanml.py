@@ -106,6 +106,9 @@ def main(argv=None):
         eval_motion_loader_fns={
             "vald": lambda rep: GeneratedMotionLoader(
                 gen, gt_batches, text_embedder, seed=rep,
+                model_mean=train_stats[0] if train_stats else None,
+                model_std=train_stats[1] if train_stats else None,
+                eval_mean=eval_mean, eval_std=eval_std,
             )
         },
         config=EvalConfig(
@@ -113,7 +116,32 @@ def main(argv=None):
         ),
         mm_loader_fns=mm_loader_fns,
     )
+    if not w_vec and "zero-glove-text-features" not in summary.get("degraded_reasons", []):
+        summary["comparable"] = False
+        summary.setdefault("degraded_reasons", []).append("no-glove-vectorizer")
+    _write_summary_json(log_file.replace(".log", ".json"), summary)
     return summary
+
+
+def _write_summary_json(path: str, summary: dict) -> None:
+    """Machine-readable eval output with the `comparable` stamp."""
+    import json
+
+    import numpy as np
+
+    def clean(v):
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [clean(x) for x in v]
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, (np.floating, np.integer)):
+            return v.item()
+        return v
+
+    with open(path, "w") as f:
+        json.dump(clean(summary), f, indent=1)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ Modes: 'train', 'eval' (t2m evaluator norm stats), 'gt', 'text_only',
 """
 from __future__ import annotations
 
+import hashlib
 import os
 import random
 from dataclasses import dataclass, field, replace
@@ -99,6 +100,72 @@ def parse_text_file(path: str) -> List[Tuple[TextEntry, float, float]]:
     return out
 
 
+_CACHE_VERSION = 2
+
+
+def _cache_key(opt: HumanMLOptions, split_file: str) -> str:
+    """Content hash so a cache can never shadow a different dataset.
+
+    Keyed by the resolved data_root, the split file's bytes, and every
+    option that affects parsing — a stale or foreign cache (e.g. test
+    fixtures) misses instead of silently loading (round-1 advisor finding).
+    """
+    h = hashlib.sha256()
+    h.update(os.path.abspath(opt.data_root).encode())
+    h.update(f"|{opt.dataset_name}|{MIN_MOTION_LEN[opt.dataset_name]}|"
+             f"{MAX_RAW_LEN}|v{_CACHE_VERSION}".encode())
+    try:
+        with open(split_file, "rb") as f:
+            h.update(f.read())
+    except OSError:
+        h.update(b"<missing-split>")
+    return h.hexdigest()[:16]
+
+
+def _clips_to_arrays(clips: List[MotionClip], dim_pose: int) -> Dict[str, np.ndarray]:
+    """Flatten clips into plain arrays (loadable with allow_pickle=False)."""
+    motions = (
+        np.concatenate([c.motion for c in clips], axis=0)
+        if clips
+        else np.zeros((0, dim_pose), np.float32)
+    )
+    text_caps, text_toks = [], []
+    for c in clips:
+        for t in c.texts:
+            text_caps.append(t.caption)
+            text_toks.append(" ".join(t.tokens))
+    return {
+        "version": np.int64(_CACHE_VERSION),
+        "motions": motions.astype(np.float32),
+        "lengths": np.asarray([len(c.motion) for c in clips], np.int64),
+        "names": np.asarray([c.name for c in clips], np.str_),
+        "text_counts": np.asarray([len(c.texts) for c in clips], np.int64),
+        "captions": np.asarray(text_caps, np.str_),
+        "tokens": np.asarray(text_toks, np.str_),
+    }
+
+
+def _clips_from_arrays(blob) -> List[MotionClip]:
+    if int(blob["version"]) != _CACHE_VERSION:
+        raise ValueError("cache version mismatch")
+    lengths = blob["lengths"]
+    splits = np.cumsum(lengths)[:-1]
+    motions = np.split(np.asarray(blob["motions"], np.float32), splits, axis=0)
+    names = [str(n) for n in blob["names"]]
+    counts = blob["text_counts"]
+    captions = [str(c) for c in blob["captions"]]
+    tokens = [str(t) for t in blob["tokens"]]
+    clips, ti = [], 0
+    for name, motion, n_texts in zip(names, motions, counts):
+        texts = [
+            TextEntry(captions[ti + k], tokens[ti + k].split(" ") if tokens[ti + k] else [])
+            for k in range(int(n_texts))
+        ]
+        ti += int(n_texts)
+        clips.append(MotionClip(name, motion, len(motion), texts))
+    return clips
+
+
 def load_clips(
     opt: HumanMLOptions, split_file: str, rng: Optional[np.random.Generator] = None
 ) -> List[MotionClip]:
@@ -110,11 +177,16 @@ def load_clips(
     if opt.use_cache:
         split = os.path.basename(split_file).replace(".txt", "")
         cache_path = os.path.join(
-            opt.cache_dir, "dataset", f"{opt.dataset_name}_{split}.npz"
+            opt.cache_dir,
+            "dataset",
+            f"{opt.dataset_name}_{split}_{_cache_key(opt, split_file)}.npz",
         )
         if os.path.exists(cache_path):
-            blob = np.load(cache_path, allow_pickle=True)
-            return list(blob["clips"])
+            try:
+                with np.load(cache_path, allow_pickle=False) as blob:
+                    return _clips_from_arrays(blob)
+            except (ValueError, KeyError, OSError):
+                pass  # unreadable/stale cache: fall through and re-parse
 
     with open(split_file) as f:
         id_list = [line.strip() for line in f if line.strip()]
@@ -152,7 +224,7 @@ def load_clips(
     clips.sort(key=lambda c: c.length)
     if cache_path:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-        np.savez(cache_path, clips=np.asarray(clips, dtype=object))
+        np.savez(cache_path, **_clips_to_arrays(clips, opt.dim_pose))
     return clips
 
 

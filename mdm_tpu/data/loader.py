@@ -114,8 +114,9 @@ class BatchIterator:
             try:
                 for b in self._gen():
                     q.put(b)
-            finally:
                 q.put(DONE)
+            except BaseException as e:  # re-raised in the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -123,6 +124,8 @@ class BatchIterator:
             b = q.get()
             if b is DONE:
                 return
+            if isinstance(b, BaseException):
+                raise b
             yield b
 
     def __len__(self):

@@ -40,6 +40,7 @@ class EvaluatorWrapper:
         self.text_enc = TextEncoderBiGRUCo(300, 15, 512, 512)
         self.motion_enc = MotionEncoderBiGRUCo(512, 1024, 512)
         self.dim_pose = dim_pose
+        self.degraded: Optional[str] = None  # set when a fallback fires
 
         if params is None:
             ckpt_dir = "t2m" if dataset_name == "humanml" else dataset_name
@@ -51,6 +52,7 @@ class EvaluatorWrapper:
                 # evaluators; random init keeps smoke/dev runs alive.
                 print(f"WARNING: evaluator checkpoint {path} missing; random init "
                       "(metrics will NOT be comparable to published numbers)")
+                self.degraded = "random-init-evaluator-encoders"
                 key = jax.random.PRNGKey(0)
                 params = {
                     "movement": self.movement_enc.init(key, jnp.zeros((1, 8, dim_pose - 4))),

@@ -22,11 +22,12 @@ EVAL_BATCH_SIZE = 32  # protocol-locked (reference eval_humanml.py:245)
 
 
 def _text_features(batch):
-    """(word_embeddings, pos_one_hots, sent_lens) with a zero fallback when
-    no GloVe vectorizer was attached (smoke runs; matching metrics are then
-    structurally valid but not comparable)."""
+    """(word_embeddings, pos_one_hots, sent_lens, degraded) with a zero
+    fallback when no GloVe vectorizer was attached (smoke runs; matching
+    metrics are then structurally valid but not comparable — the caller
+    stamps the output as such)."""
     if "word_embeddings" in batch:
-        return batch["word_embeddings"], batch["pos_one_hots"], batch["sent_lens"]
+        return batch["word_embeddings"], batch["pos_one_hots"], batch["sent_lens"], False
     B = batch["x"].shape[0]
     L = 22
     sent_lens = batch.get("sent_lens", np.full((B,), 4, np.int32))
@@ -34,6 +35,7 @@ def _text_features(batch):
         np.zeros((B, L, 300), np.float32),
         np.zeros((B, L, 15), np.float32),
         np.asarray(sent_lens),
+        True,
     )
 
 
@@ -41,6 +43,7 @@ def evaluate_matching_score(eval_wrapper: EvaluatorWrapper, motion_loaders: Dict
     match_score_dict = OrderedDict()
     R_precision_dict = OrderedDict()
     activation_dict = OrderedDict()
+    any_degraded = False
     for name, loader in motion_loaders.items():
         all_motion_embeddings = []
         score_list = []
@@ -48,7 +51,8 @@ def evaluate_matching_score(eval_wrapper: EvaluatorWrapper, motion_loaders: Dict
         matching_score_sum = 0
         top_k_count = np.zeros(3)
         for batch in loader:
-            w, p, sl = _text_features(batch)
+            w, p, sl, degraded = _text_features(batch)
+            any_degraded = any_degraded or degraded
             text_emb, motion_emb = eval_wrapper.get_co_embeddings(
                 w, p, sl, batch["x"], batch["lengths"],
             )
@@ -66,7 +70,7 @@ def evaluate_matching_score(eval_wrapper: EvaluatorWrapper, motion_loaders: Dict
         activation_dict[name] = np.concatenate(all_motion_embeddings, axis=0)
         log(f"---> [{name}] Matching Score: {matching_score:.4f}  "
             f"R_precision: {R_precision}")
-    return match_score_dict, R_precision_dict, activation_dict
+    return match_score_dict, R_precision_dict, activation_dict, any_degraded
 
 
 def evaluate_fid(gt_activations: np.ndarray, activation_dict: Dict[str, np.ndarray], log=print):
@@ -80,17 +84,21 @@ def evaluate_fid(gt_activations: np.ndarray, activation_dict: Dict[str, np.ndarr
     return fid_dict
 
 
-def evaluate_diversity(activation_dict: Dict[str, np.ndarray], diversity_times=300, log=print):
+def evaluate_diversity(
+    activation_dict: Dict[str, np.ndarray], diversity_times=300, log=print,
+    rng: Optional[np.random.Generator] = None,
+):
     div_dict = OrderedDict()
     for name, acts in activation_dict.items():
         dt = min(diversity_times, len(acts) - 1)
-        div_dict[name] = M.calculate_diversity(acts, dt)
+        div_dict[name] = M.calculate_diversity(acts, dt, rng=rng)
         log(f"---> [{name}] Diversity: {div_dict[name]:.4f}")
     return div_dict
 
 
 def evaluate_multimodality(
-    eval_wrapper: EvaluatorWrapper, mm_loaders: Dict[str, Iterable], mm_num_times=10, log=print
+    eval_wrapper: EvaluatorWrapper, mm_loaders: Dict[str, Iterable], mm_num_times=10, log=print,
+    rng: Optional[np.random.Generator] = None,
 ):
     mm_dict = OrderedDict()
     for name, loader in mm_loaders.items():
@@ -102,7 +110,7 @@ def evaluate_multimodality(
             continue
         acts = np.concatenate(embs, axis=0)
         mmt = min(mm_num_times, acts.shape[1])
-        mm_dict[name] = M.calculate_multimodality(acts, mmt)
+        mm_dict[name] = M.calculate_multimodality(acts, mmt, rng=rng)
         log(f"---> [{name}] Multimodality: {mm_dict[name]:.4f}")
     return mm_dict
 
@@ -121,6 +129,7 @@ class EvalConfig:
     mm_num_times: int = 10
     run_mm: bool = False
     log_file: Optional[str] = None
+    seed: int = 0  # seeds the per-replication diversity/MM subsampling RNG
 
 
 def evaluation(
@@ -144,22 +153,30 @@ def evaluation(
         "Diversity": OrderedDict(),
         "MultiModality": OrderedDict(),
     }
+    degraded_reasons: List[str] = []
+    if getattr(eval_wrapper, "degraded", None):
+        degraded_reasons.append(str(eval_wrapper.degraded))
     for rep in range(config.replication_times):
         log(f"==================== Replication {rep} ====================")
         t0 = time.time()
+        rep_rng = np.random.default_rng(config.seed + rep)
         motion_loaders = {"ground truth": gt_loader_fn()}
         for name, fn in eval_motion_loader_fns.items():
             motion_loaders[name] = fn(rep)
 
-        mat_dict, R_dict, act_dict = evaluate_matching_score(eval_wrapper, motion_loaders, log)
+        mat_dict, R_dict, act_dict, text_degraded = evaluate_matching_score(
+            eval_wrapper, motion_loaders, log
+        )
+        if text_degraded and "zero-glove-text-features" not in degraded_reasons:
+            degraded_reasons.append("zero-glove-text-features")
         fid_dict = evaluate_fid(act_dict["ground truth"],
                                 {k: v for k, v in act_dict.items()}, log)
-        div_dict = evaluate_diversity(act_dict, config.diversity_times, log)
+        div_dict = evaluate_diversity(act_dict, config.diversity_times, log, rng=rep_rng)
         mm_dict = {}
         if config.run_mm and mm_loader_fns:
             mm_dict = evaluate_multimodality(
                 eval_wrapper, {k: fn(rep) for k, fn in mm_loader_fns.items()},
-                config.mm_num_times, log,
+                config.mm_num_times, log, rng=rep_rng,
             )
         log(f"replication {rep} took {time.time() - t0:.1f}s")
 
@@ -178,6 +195,13 @@ def evaluation(
             mean, ci = get_metric_statistics(np.asarray(values), config.replication_times)
             summary[metric][name] = {"mean": mean, "ci": ci}
             log(f"---> [{metric}] [{name}]: {mean} +- {ci}")
+
+    # Stamp degraded runs so a zero-GloVe / random-evaluator fallback can
+    # never be mistaken for publishable numbers (round-1 verdict item 7).
+    summary["comparable"] = not degraded_reasons
+    if degraded_reasons:
+        summary["degraded_reasons"] = list(degraded_reasons)
+        log(f'"comparable": false  # degraded: {", ".join(degraded_reasons)}')
 
     if config.log_file:
         os.makedirs(os.path.dirname(config.log_file) or ".", exist_ok=True)

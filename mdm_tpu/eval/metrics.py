@@ -5,7 +5,7 @@ multimodality, KID (polynomial MMD), and k-NN precision/recall.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from scipy import linalg
@@ -76,18 +76,30 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
     )
 
 
-def calculate_diversity(activation: np.ndarray, diversity_times: int) -> float:
+def calculate_diversity(
+    activation: np.ndarray,
+    diversity_times: int,
+    rng: Optional[np.random.Generator] = None,
+) -> float:
+    """Same sampling logic as the reference (metrics.py:73-82) but with an
+    explicit Generator (repo convention) so eval numbers are reproducible."""
+    rng = rng if rng is not None else np.random.default_rng()
     num_samples = activation.shape[0]
-    first = np.random.choice(num_samples, diversity_times, replace=False)
-    second = np.random.choice(num_samples, diversity_times, replace=False)
+    first = rng.choice(num_samples, diversity_times, replace=False)
+    second = rng.choice(num_samples, diversity_times, replace=False)
     return float(np.linalg.norm(activation[first] - activation[second], axis=1).mean())
 
 
-def calculate_multimodality(activation: np.ndarray, multimodality_times: int) -> float:
+def calculate_multimodality(
+    activation: np.ndarray,
+    multimodality_times: int,
+    rng: Optional[np.random.Generator] = None,
+) -> float:
     """activation: [N, n_per_condition, D]."""
+    rng = rng if rng is not None else np.random.default_rng()
     num_per_sent = activation.shape[1]
-    first = np.random.choice(num_per_sent, multimodality_times, replace=False)
-    second = np.random.choice(num_per_sent, multimodality_times, replace=False)
+    first = rng.choice(num_per_sent, multimodality_times, replace=False)
+    second = rng.choice(num_per_sent, multimodality_times, replace=False)
     return float(
         np.linalg.norm(activation[:, first] - activation[:, second], axis=2).mean()
     )

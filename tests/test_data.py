@@ -66,6 +66,44 @@ class TestHumanML:
         ds2 = HumanMLDataset(opt, split="train")  # from cache
         assert len(ds1) == len(ds2)
         assert sorted(c.name for c in ds1.clips) == sorted(c.name for c in ds2.clips)
+        # cache round-trips content exactly, not just names
+        by_name1 = {c.name: c for c in ds1.clips}
+        for c in ds2.clips:
+            ref = by_name1[c.name]
+            np.testing.assert_array_equal(c.motion, ref.motion)
+            assert [t.caption for t in c.texts] == [t.caption for t in ref.texts]
+            assert [t.tokens for t in c.texts] == [t.tokens for t in ref.texts]
+
+    def test_cache_is_pickle_free(self, synthetic_humanml, tmp_path):
+        cache_dir = tmp_path / "c"
+        opt = HumanMLOptions(
+            data_root=synthetic_humanml, use_cache=True, cache_dir=str(cache_dir)
+        )
+        HumanMLDataset(opt, split="train")
+        files = list((cache_dir / "dataset").glob("*.npz"))
+        assert files
+        # must load with allow_pickle=False (advisor: no pickled objects)
+        with np.load(files[0], allow_pickle=False) as blob:
+            assert "motions" in blob
+
+    def test_cache_keyed_by_dataset_content(self, synthetic_humanml, tmp_path):
+        """A cache written for one dataset must never shadow another
+        (round-1 advisor high-severity finding)."""
+        cache_dir = str(tmp_path / "c")
+        opt1 = HumanMLOptions(
+            data_root=synthetic_humanml, use_cache=True, cache_dir=cache_dir
+        )
+        ds1 = HumanMLDataset(opt1, split="train")
+
+        # Second dataset, different root + one clip dropped from the split.
+        import shutil
+
+        root2 = tmp_path / "HumanML3D_other"
+        shutil.copytree(synthetic_humanml, root2)
+        (root2 / "train.txt").write_text("\n".join(f"{i:06d}" for i in range(5)))
+        opt2 = HumanMLOptions(data_root=str(root2), use_cache=True, cache_dir=cache_dir)
+        ds2 = HumanMLDataset(opt2, split="train")
+        assert len(ds2) < len(ds1)  # NOT the 6-clip cache from dataset 1
 
     def test_fixed_len_prefix_mode(self, synthetic_humanml):
         opt = HumanMLOptions(
@@ -209,3 +247,33 @@ class TestKitAndTextOnly:
         s = ds.sample(0, RNG)
         assert s["caption"] == "a human walks"
         assert s["motion"].shape == (1, 251)  # placeholder, no padding cost
+
+
+class TestBatchIteratorErrors:
+    def test_producer_exception_propagates(self):
+        """Prefetch thread errors must surface in the consumer with the
+        original exception, not a silent truncation (advisor finding)."""
+
+        class ExplodingDataset:
+            def __len__(self):
+                return 8
+
+            def sample(self, idx, rng):
+                if idx >= 4:
+                    raise RuntimeError("disk went away")
+                return {
+                    "motion": np.zeros((196, 263), np.float32),
+                    "length": 100,
+                    "original_length": 100,
+                    "caption": "x",
+                    "tokens": ["sos/OTHER"],
+                    "sent_len": 1,
+                    "key": str(idx),
+                }
+
+        it = BatchIterator(
+            ExplodingDataset(), batch_size=4, shuffle=False, infinite=False,
+            prefetch=2,
+        )
+        with pytest.raises(RuntimeError, match="disk went away"):
+            list(it)

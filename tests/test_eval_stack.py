@@ -141,19 +141,26 @@ class TestMetrics:
         assert abs(ours - theirs) < 1e-8
 
     def test_diversity_multimodality(self, ref_metrics):
+        # RandomState(0).choice reproduces the reference's global
+        # np.random.seed(0) stream exactly; ours takes the RNG explicitly.
         act = RNG.normal(size=(50, 16))
-        np.random.seed(0)
-        ours = M.calculate_diversity(act, 20)
+        ours = M.calculate_diversity(act, 20, rng=np.random.RandomState(0))
         np.random.seed(0)
         theirs = ref_metrics.calculate_diversity(act, 20)
         assert abs(ours - theirs) < 1e-8
 
         act3 = RNG.normal(size=(10, 8, 16))
-        np.random.seed(1)
-        ours = M.calculate_multimodality(act3, 4)
+        ours = M.calculate_multimodality(act3, 4, rng=np.random.RandomState(1))
         np.random.seed(1)
         theirs = ref_metrics.calculate_multimodality(act3, 4)
         assert abs(ours - theirs) < 1e-8
+
+    def test_diversity_reproducible_with_generator(self):
+        act = RNG.normal(size=(50, 16))
+        a = M.calculate_diversity(act, 20, rng=np.random.default_rng(7))
+        np.random.seed(123)  # unrelated global seeding must not matter
+        b = M.calculate_diversity(act, 20, rng=np.random.default_rng(7))
+        assert a == b
 
     def test_kid_sane(self):
         a = RNG.normal(size=(80, 8))
