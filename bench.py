@@ -8,24 +8,115 @@ exposes, and prints ONE JSON line:
 
     {"metric": "sec_per_sample_50step", "value": ..., "unit": "s/sample",
      "vs_baseline": <reference_sec / ours_sec, higher is better>}
+
+`bench.py --scaling` instead measures data-parallel training scaling over
+ALL visible devices (per-chip samples/s at fixed per-chip batch); on a
+single chip it falls back to an 8-way virtual CPU mesh so the plumbing is
+proven even without multi-chip hardware (numbers only meaningful on real
+chips).
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from mdm_tpu.diffusion import Schedule
-from mdm_tpu.models import MDM, Conditioning, MDMConfig
-from mdm_tpu.sampling import GenerationConfig, MotionGenerator
 
 BASELINE_SEC_PER_SAMPLE = 0.4  # README.md:13-19 (1 GPU, 50 steps, cached CLIP)
 
 
+def scaling_main():
+    """DP-scaling bench: one fused train step sharded over all devices."""
+    import jax
+
+    n = len(jax.devices())
+    if n == 1:
+        # No multi-chip hardware: re-exec on the 8-way virtual CPU mesh to
+        # prove the plumbing (numbers meaningless there, marked as such).
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if not f.startswith("--xla_force_host_platform_device_count")]
+        flags.append("--xla_force_host_platform_device_count=8")
+        env["XLA_FLAGS"] = " ".join(flags)
+        import subprocess
+
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import bench; bench.scaling_main()" % os.path.dirname(os.path.abspath(__file__))
+        )
+        raise SystemExit(subprocess.run([sys.executable, "-c", code], env=env).returncode)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdm_tpu.diffusion import LossConfig, Schedule
+    from mdm_tpu.models import MDM, Conditioning, MDMConfig
+    from mdm_tpu.parallel import make_mesh, shard_batch
+    from mdm_tpu.train import (
+        OptimConfig,
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    per_chip_b = 64 if on_tpu else 2
+    B, T = per_chip_b * n, 196 if on_tpu else 32
+    make_mesh(n_devices=n)
+    cfg = (
+        MDMConfig(njoints=263, nfeats=1, latent_dim=512, ff_size=1024,
+                  num_layers=8, num_heads=4, compute_dtype="bfloat16")
+        if on_tpu
+        else MDMConfig(njoints=263, nfeats=1, latent_dim=64, ff_size=128,
+                       num_layers=2, num_heads=4)
+    )
+    model = MDM(cfg)
+    cond = Conditioning(
+        frames_mask=jnp.ones((B, T), bool),
+        text_embed=jnp.zeros((B, 512), jnp.float32),
+    )
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((B, T, 263)), jnp.zeros((B,), jnp.int32), cond
+    )["params"]
+    sched = Schedule.create("cosine", 1000)
+    config = TrainStepConfig(loss=LossConfig(), optim=OptimConfig(lr=1e-4))
+    state = create_train_state(params, config.optim)
+    step = make_train_step(model.apply, sched, config)
+    batch = shard_batch(
+        {
+            "x": jnp.asarray(np.random.default_rng(0).normal(size=(B, T, 263)).astype(np.float32)),
+            "mask": jnp.ones((B, T), bool),
+            "cond": cond,
+        },
+        None,
+    )
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "dp_train_samples_per_s_per_chip",
+        "value": round(B / dt / n, 1),
+        "unit": f"samples/s/chip (n={n}, global_batch={B}, platform={jax.devices()[0].platform})",
+        "vs_baseline": None if not on_tpu else round((B / dt / n) / 690.0, 2),
+    }))
+
+
 def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdm_tpu.diffusion import Schedule
+    from mdm_tpu.models import MDM, Conditioning, MDMConfig
+    from mdm_tpu.sampling import GenerationConfig, MotionGenerator
     B, T = 32, 196
     cfg = MDMConfig(
         njoints=263, nfeats=1, latent_dim=512, ff_size=1024, num_layers=8,
@@ -75,4 +166,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -125,6 +125,8 @@ def main(argv=None):
     eval_fn = None
     if args.eval_during_training and args.dataset in ("humanml", "kit"):
         eval_fn = make_eval_during_training(args, model, text_embedder)
+    elif args.eval_during_training and args.dataset in ("humanact12", "uestc"):
+        eval_fn = make_a2m_eval_during_training(args, model, data.dataset, num_frames)
 
     loop = TrainLoop(
         step,
@@ -214,6 +216,74 @@ def make_eval_during_training(args, model, text_embedder):
             for name, v in d.items():
                 mean = np.asarray(v["mean"]).ravel()
                 flat[f"{metric}_{name}"] = float(mean[0]) if mean.size else float("nan")
+        return flat
+
+    return eval_fn
+
+
+def make_a2m_eval_during_training(args, model, dataset, num_frames):
+    """Action-dataset eval pass per checkpoint: accuracy/FID/diversity/MM
+    via the frozen GRU (HumanAct12) / STGCN (UESTC) classifier, matching
+    the reference's in-training a2m eval (train/training_loop.py:275-286).
+
+    Runs eval_rep_times seeds over a small per-seed budget
+    (eval_num_samples), reports flattened Eval-group scalars.
+    """
+    import numpy as np
+
+    from ..diffusion import Schedule
+    from ..eval.a2m_setup import (
+        build_a2m_classifier,
+        make_a2m_feature_input,
+        make_a2m_loaders_factory,
+    )
+    from ..eval.harness_a2m import A2MEvalConfig, A2MEvaluation, evaluate_multi_seed
+    from ..sampling import GenerationConfig, MotionGenerator
+
+    num_actions = getattr(dataset, "num_actions", 1)
+    clf, clf_params, degraded = build_a2m_classifier(args.dataset, num_actions, num_frames)
+    try:
+        feature_input = make_a2m_feature_input(args.dataset)
+    except FileNotFoundError as e:
+        # humanact12's GRU classifier consumes SMPL xyz; without the SMPL
+        # asset, classify the raw rot6d features with a random-init GRU so
+        # the protocol still runs end-to-end — stamped non-comparable.
+        import jax
+        import jax.numpy as jnp
+
+        from ..eval.classifiers import MotionDiscriminator
+
+        print(f"eval_during_training: SMPL asset missing ({e}); "
+              "degrading to raw-feature classifier (non-comparable)")
+        degraded = True
+        feature_input = lambda feats: feats
+        D = model.config.input_feats
+        clf = MotionDiscriminator(D, 128, 2, num_actions)
+        clf_params = jax.jit(clf.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, num_frames, D)),
+            jnp.array([num_frames]),
+        )
+    max_batches = max(1, args.eval_num_samples // max(1, args.eval_batch_size))
+
+    def eval_fn(state, step):
+        sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
+        params = {"params": state.ema_params if state.ema_params is not None else state.params}
+        gen = MotionGenerator(
+            model, params, sched,
+            # reference in-training a2m eval uses guidance 1 (training_loop.py:277)
+            GenerationConfig(guidance_scale=1.0), args.dataset,
+        )
+        make_loaders = make_a2m_loaders_factory(
+            dataset, gen, args.eval_batch_size, num_frames, feature_input,
+            max_batches=max_batches,
+        )
+        ev = A2MEvaluation(
+            clf, clf_params, config=A2MEvalConfig(num_classes=num_actions)
+        )
+        summary = evaluate_multi_seed(make_loaders, ev, num_seeds=args.eval_rep_times)
+        flat = {k: float(v["mean"]) for k, v in summary.items()}
+        if degraded:
+            flat["eval_comparable"] = 0.0
         return flat
 
     return eval_fn

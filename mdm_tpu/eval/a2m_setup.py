@@ -1,0 +1,151 @@
+"""Shared construction for the a2m eval protocol (classifier + loaders).
+
+Used by both the standalone CLI (cli/eval_a2m.py) and eval-during-training
+(cli/train.py), mirroring how the reference shares eval_humanact12_uestc
+.evaluate between eval and train (train/training_loop.py:275-286).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, Tuple
+
+
+def build_a2m_classifier(
+    dataset_name: str, num_actions: int, num_frames: int = 60
+) -> Tuple[object, dict, bool]:
+    """Frozen a2m classifier: (clf_with_apply, params, degraded).
+
+    HumanAct12 -> GRU MotionDiscriminator on xyz (reference
+    eval/a2m/gru_eval.py); UESTC -> STGCN on rot6d (stgcn_eval.py:58-60).
+    degraded=True when the converted reference checkpoint asset is missing
+    and a random init stands in (metrics then not comparable).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .classifiers import MotionDiscriminator, convert_motion_discriminator
+
+    degraded = False
+    if dataset_name == "uestc":
+        from .stgcn import STGCN, STGCNConfig, convert_stgcn
+
+        stg_cfg = STGCNConfig(in_channels=6, num_class=num_actions, layout="smpl")
+        stg = STGCN(stg_cfg)
+        clf_path = os.path.join("assets", "actionrecognition", "uestc_rot6d_stgcn.tar")
+        if os.path.exists(clf_path):
+            import torch
+
+            sd = torch.load(clf_path, map_location="cpu", weights_only=False)
+            sd = sd.get("model", sd)
+            clf_params = convert_stgcn({k: v.numpy() for k, v in sd.items()}, stg_cfg)
+        else:
+            print(f"WARNING: classifier checkpoint {clf_path} missing; random init")
+            degraded = True
+            clf_params = jax.jit(stg.init)(
+                jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 24, 6))
+            )
+
+        class _StgcnAdapter:
+            """Match MotionDiscriminator's (x, lengths) call signature."""
+
+            def apply(self, params, x, lengths):
+                return stg.apply(params, x)
+
+        return _StgcnAdapter(), clf_params, degraded
+
+    clf_path = os.path.join("assets", "actionrecognition", "humanact12_gru.tar")
+    clf = MotionDiscriminator(72 + 3, 128, 2, num_actions)
+    if os.path.exists(clf_path):
+        import torch
+
+        sd = torch.load(clf_path, map_location="cpu", weights_only=False)
+        sd = sd.get("model", sd)
+        clf_params = convert_motion_discriminator({k: v.numpy() for k, v in sd.items()})
+    else:
+        print(f"WARNING: classifier checkpoint {clf_path} missing; random init")
+        degraded = True
+        clf_params = jax.jit(clf.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 75)), jnp.array([num_frames])
+        )
+    return clf, clf_params, degraded
+
+
+def make_a2m_feature_input(dataset_name: str) -> Callable:
+    """feats_norm [B,T,150] -> classifier input (xyz flat or rot6d)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if dataset_name == "uestc":
+        def feature_input(feats_norm):
+            r6 = feats_norm.reshape(feats_norm.shape[0], feats_norm.shape[1], 25, 6)
+            return r6[:, :, :-1]  # rotations only, translation row dropped
+
+        return feature_input
+
+    from ..smpl import Rot2XYZConfig, SMPLModel, rot2xyz
+
+    smpl = SMPLModel.load()
+    r2x_cfg = Rot2XYZConfig(jointstype="smpl", vertstrans=True)
+    get_xyz = jax.jit(lambda feats: rot2xyz(smpl, feats.reshape(
+        feats.shape[0], feats.shape[1], 25, 6), r2x_cfg))
+
+    def feature_input(feats_norm):
+        joints = np.asarray(get_xyz(jnp.asarray(feats_norm)))  # [B, T, 24, 3]
+        return joints.reshape(joints.shape[0], joints.shape[1], -1)
+
+    return feature_input
+
+
+def make_a2m_loaders_factory(
+    dataset, generator, batch_size: int, num_frames: int,
+    feature_input: Callable, max_batches: int = 0,
+) -> Callable[[int], Dict[str, Iterable]]:
+    """make_loaders(seed) -> {gen, gt, gt2} eval batches.
+
+    Per seed: reshuffled GT pass, an independently-shuffled gt2 pass (the
+    reference's FID sanity baseline, gru_eval.py:55-78), and generation over
+    the GT prompts through the jitted sampler. max_batches>0 truncates each
+    pass (eval-during-training uses a small budget, training_loop.py:277).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import BatchIterator
+    from ..models.mdm import Conditioning
+
+    def make_loaders(seed):
+        key = jax.random.PRNGKey(seed)
+        it = BatchIterator(dataset, batch_size, seed=seed, infinite=False)
+        it2 = BatchIterator(dataset, batch_size, seed=seed + 1000, infinite=False)
+        gt1, gt2, genb = [], [], []
+        for i, batch in enumerate(it):
+            if max_batches and i >= max_batches:
+                break
+            gt1.append({
+                "output_xyz": feature_input(batch["x"]),
+                "lengths": batch["lengths"], "y": batch["action"],
+            })
+            key, sub = jax.random.split(key)
+            cond = Conditioning(
+                frames_mask=jnp.asarray(batch["mask"]),
+                action=jnp.asarray(batch["action"]),
+            )
+            feats = np.asarray(
+                generator.sample_features(cond, len(batch["action"]), num_frames, sub)
+            )
+            genb.append({
+                "output_xyz": feature_input(feats),
+                "lengths": batch["lengths"], "y": batch["action"],
+            })
+        for i, batch in enumerate(it2):
+            if max_batches and i >= max_batches:
+                break
+            gt2.append({
+                "output_xyz": feature_input(batch["x"]),
+                "lengths": batch["lengths"], "y": batch["action"],
+            })
+        return {"gt": gt1, "gt2": gt2, "gen": genb}
+
+    return make_loaders

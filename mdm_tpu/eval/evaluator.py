@@ -34,11 +34,14 @@ class EvaluatorWrapper:
         dataset_name: str = "humanml",
         checkpoints_dir: str = ".",
         params: Optional[dict] = None,
+        movement_enc: Optional[MovementConvEncoder] = None,
+        text_enc: Optional[TextEncoderBiGRUCo] = None,
+        motion_enc: Optional[MotionEncoderBiGRUCo] = None,
     ):
         dim_pose = 263 if dataset_name == "humanml" else 251
-        self.movement_enc = MovementConvEncoder(512, 512)
-        self.text_enc = TextEncoderBiGRUCo(300, 15, 512, 512)
-        self.motion_enc = MotionEncoderBiGRUCo(512, 1024, 512)
+        self.movement_enc = movement_enc or MovementConvEncoder(512, 512)
+        self.text_enc = text_enc or TextEncoderBiGRUCo(300, 15, 512, 512)
+        self.motion_enc = motion_enc or MotionEncoderBiGRUCo(512, 1024, 512)
         self.dim_pose = dim_pose
         self.degraded: Optional[str] = None  # set when a fallback fires
 

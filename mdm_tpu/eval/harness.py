@@ -130,6 +130,10 @@ class EvalConfig:
     run_mm: bool = False
     log_file: Optional[str] = None
     seed: int = 0  # seeds the per-replication diversity/MM subsampling RNG
+    # Override the per-replication subsampling RNG (rep -> object with
+    # .choice). Used by the protocol-parity test to share the reference's
+    # global np.random stream; production runs leave it None.
+    rng_factory: Optional[Callable[[int], object]] = None
 
 
 def evaluation(
@@ -159,7 +163,11 @@ def evaluation(
     for rep in range(config.replication_times):
         log(f"==================== Replication {rep} ====================")
         t0 = time.time()
-        rep_rng = np.random.default_rng(config.seed + rep)
+        rep_rng = (
+            config.rng_factory(rep)
+            if config.rng_factory is not None
+            else np.random.default_rng(config.seed + rep)
+        )
         motion_loaders = {"ground truth": gt_loader_fn()}
         for name, fn in eval_motion_loader_fns.items():
             motion_loaders[name] = fn(rep)

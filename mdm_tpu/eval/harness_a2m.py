@@ -26,28 +26,52 @@ def classifier_accuracy(feats_yhat: np.ndarray, labels: np.ndarray) -> float:
     return float((feats_yhat.argmax(axis=1) == labels).mean())
 
 
+def _randint(rng, low, high, size=None):
+    """Scalar/array uniform ints for either a Generator or the legacy
+    np.random module (the latter lets tests share the reference's global
+    stream for bit-exact parity)."""
+    if hasattr(rng, "integers"):
+        return rng.integers(low, high, size)
+    return rng.randint(low, high, size)
+
+
 def diversity_and_multimodality(
-    activations: np.ndarray, labels: np.ndarray, num_labels: int,
+    activations: np.ndarray, labels: Optional[np.ndarray], num_labels: int,
     diversity_times: int = 200, multimodality_times: int = 20,
-    rng: Optional[np.random.Generator] = None,
+    rng: Optional[np.random.Generator] = None, unconstrained: bool = False,
 ) -> Dict[str, float]:
-    """action2motion-style diversity/multimodality on classifier features."""
-    rng = rng or np.random.default_rng(0)
+    """Exact reference algorithm (eval/a2m/action2motion/diversity.py:21-66):
+    diversity = mean distance over `diversity_times` with-replacement pairs;
+    multimodality = quota-based rejection sampling of same-label pairs,
+    normalized by multimodality_times * num_labels (labels absent from the
+    batch keep quota 0 but still count in the denominator — reproduced)."""
+    rng = rng if rng is not None else np.random.default_rng(0)
     n = len(activations)
-    first = rng.integers(0, n, diversity_times)
-    second = rng.integers(0, n, diversity_times)
+    first = _randint(rng, 0, n, diversity_times)
+    second = _randint(rng, 0, n, diversity_times)
     diversity = float(np.linalg.norm(activations[first] - activations[second], axis=1).mean())
 
-    mm_dists = []
-    for label in range(num_labels):
-        idx = np.where(labels == label)[0]
-        if len(idx) < 2:
+    if unconstrained or labels is None:
+        return {"diversity": diversity, "multimodality": float("nan")}
+
+    labels = np.asarray(labels)
+    multimodality = 0.0
+    label_quotas = np.zeros(num_labels)
+    label_quotas[np.unique(labels)] = multimodality_times
+    while np.any(label_quotas > 0):
+        first_idx = int(_randint(rng, 0, n))
+        first_label = labels[first_idx]
+        if not label_quotas[first_label]:
             continue
-        a = activations[idx[rng.integers(0, len(idx), multimodality_times)]]
-        b = activations[idx[rng.integers(0, len(idx), multimodality_times)]]
-        mm_dists.append(np.linalg.norm(a - b, axis=1).mean())
-    multimodality = float(np.mean(mm_dists)) if mm_dists else float("nan")
-    return {"diversity": diversity, "multimodality": multimodality}
+        second_idx = int(_randint(rng, 0, n))
+        while labels[second_idx] != first_label:
+            second_idx = int(_randint(rng, 0, n))
+        label_quotas[first_label] -= 1
+        multimodality += float(
+            np.linalg.norm(activations[first_idx] - activations[second_idx])
+        )
+    multimodality /= multimodality_times * num_labels
+    return {"diversity": diversity, "multimodality": float(multimodality)}
 
 
 @dataclass
@@ -98,9 +122,11 @@ class A2MEvaluation:
             "labels": np.concatenate(labels) if labels else None,
         }
 
-    def evaluate(self, loaders: Dict[str, Iterable], seed: int = 0) -> Dict[str, float]:
+    def evaluate(
+        self, loaders: Dict[str, Iterable], seed: int = 0, rng=None
+    ) -> Dict[str, float]:
         cfg = self.config
-        rng = np.random.default_rng(seed)
+        rng = rng if rng is not None else np.random.default_rng(seed)
         metrics: Dict[str, float] = {}
         stats = {}
         collected = {}
@@ -110,6 +136,8 @@ class A2MEvaluation:
                 metrics[f"accuracy_{key}"] = classifier_accuracy(
                     acc_data["yhat"], acc_data["labels"]
                 )
+            else:
+                metrics[f"accuracy_{key}"] = float("nan")
             fid_data = (
                 acc_data
                 if self.params_fid is self.params_cls
@@ -118,18 +146,19 @@ class A2MEvaluation:
             collected[key] = fid_data
             stats[key] = M.calculate_activation_statistics(fid_data["features"])
             dm = diversity_and_multimodality(
-                fid_data["features"],
-                fid_data["labels"] if fid_data["labels"] is not None else np.zeros(len(fid_data["features"]), int),
+                fid_data["features"], fid_data["labels"],
                 cfg.num_classes, cfg.diversity_times, cfg.multimodality_times, rng,
+                unconstrained=fid_data["labels"] is None,
             )
             metrics[f"diversity_{key}"] = dm["diversity"]
             metrics[f"multimodality_{key}"] = dm["multimodality"]
 
+        # FID for EVERY loader vs gt, including gt itself (~0, the
+        # reference's sanity row — evaluate.py:75-83).
         for key in loaders:
-            if key != "gt":
-                metrics[f"fid_{key}"] = M.calculate_frechet_distance(
-                    *stats["gt"], *stats[key]
-                )
+            metrics[f"fid_{key}"] = M.calculate_frechet_distance(
+                *stats["gt"], *stats[key]
+            )
         return metrics
 
 

@@ -78,6 +78,14 @@ class MotionGenerator:
         self.params = params
         self.sched = sched
         self.config = config
+        if config.cfg_cache_interval > 1 and config.sampler not in ("ddpm", "ddim"):
+            raise ValueError(
+                f"cfg_cache_interval={config.cfg_cache_interval} is only "
+                f"supported for the ddpm/ddim samplers (the plms/dpmpp_2m "
+                f"multistep solvers thread their own per-step model state); "
+                f"got sampler={config.sampler!r}. Drop --cfg_cache_interval "
+                f"or switch samplers."
+            )
         self.dataset = dataset
         self.joints_num = 22 if dataset == "humanml" else 21
         if norm_stats is not None:
@@ -125,7 +133,38 @@ class MotionGenerator:
                 kwargs["model_state"] = model_state
             return sampler(model_fn, self.sched, noise, key, scfg, **kwargs)
 
+        self._raw_sample = _raw_sample
         self._sample_jit = jax.jit(_raw_sample)
+
+        def _ar_scan(params, init_prefix, stacked_cond, keys):
+            """Whole DiP autoregressive generation as ONE XLA program.
+
+            lax.scan over chunks; the context_len-frame prefix is the carry
+            (device-resident, never copied to host). stacked_cond carries any
+            per-chunk conditioning (dynamic text) with a leading chunk axis.
+            Returns [B, n_iters * pred_len, D].
+            """
+            B = init_prefix.shape[0]
+            D = self.model.config.input_feats
+
+            def body(prefix, xs):
+                cond_i, k = xs
+                k, nk = jax.random.split(k)
+                noise = jax.random.normal(nk, (B, ccfg_pred_len, D), jnp.float32)
+                sample = _raw_sample(
+                    params, cond_i.replace(prefix=prefix), noise, k, None, None
+                )
+                full = jnp.concatenate([prefix, sample], axis=1)
+                return full[:, -ccfg_context_len:], sample
+
+            ccfg_pred_len = self.config.pred_len
+            ccfg_context_len = self.config.context_len
+            _, chunks = jax.lax.scan(body, init_prefix, (stacked_cond, keys))
+            # [n_iters, B, pred_len, D] -> [B, n_iters*pred_len, D]
+            n_iters = chunks.shape[0]
+            return jnp.transpose(chunks, (1, 0, 2, 3)).reshape(B, n_iters * ccfg_pred_len, D)
+
+        self._ar_scan_jit = jax.jit(_ar_scan)
 
         if self.mean is not None:
             mean_c, std_c = jnp.asarray(self.mean), jnp.asarray(self.std)
@@ -169,24 +208,47 @@ class MotionGenerator:
         keeps the last `context_len` generated frames as prefix, denoises
         `pred_len` new frames per chunk, optional per-chunk conditioning
         (dynamic text prompts) via `per_chunk_cond`.
+
+        Device-resident: per-chunk conditionings are stacked up front and the
+        whole chunk loop runs as one jitted `lax.scan` (prefix as carry) —
+        zero host transfers inside the loop. Falls back to a host loop only
+        if `per_chunk_cond` returns structurally different pytrees per chunk.
         """
         ccfg = self.config
         assert cond.prefix is not None, "autoregressive sampling requires an initial prefix"
         n_iters = (required_frames // ccfg.pred_len) + int(required_frames % ccfg.pred_len > 0)
-        prefix = cond.prefix
-        buf = [np.asarray(prefix)] if ccfg.autoregressive_include_prefix else []
+        init_prefix = jnp.asarray(cond.prefix)
+        base = cond.replace(prefix=None)
 
-        for i in range(n_iters):
-            cur = cond.replace(prefix=prefix)
-            if per_chunk_cond is not None:
-                cur = per_chunk_cond(i, cur)
-            key, sub = jax.random.split(key)
-            sample = self.sample_features(cur, batch_size, ccfg.pred_len, sub)
-            buf.append(np.asarray(sample[:, -ccfg.pred_len :]))
-            full = jnp.concatenate([prefix, sample], axis=1)
-            prefix = full[:, -ccfg.context_len :]
+        per_chunk = [
+            per_chunk_cond(i, base) if per_chunk_cond is not None else base
+            for i in range(n_iters)
+        ]
+        keys = jax.random.split(key, n_iters)
+        try:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_chunk)
+            gen = self._ar_scan_jit(self.params, init_prefix, stacked, keys)
+        except (TypeError, ValueError):
+            # Structurally inhomogeneous per-chunk conditioning: host loop,
+            # still device-resident arrays (no np round-trips).
+            prefix, buf = init_prefix, []
+            for i in range(n_iters):
+                k, nk = jax.random.split(keys[i])
+                noise = jax.random.normal(
+                    nk, (batch_size, ccfg.pred_len, self.model.config.input_feats),
+                    jnp.float32,
+                )
+                sample = self._sample_jit(
+                    self.params, per_chunk[i].replace(prefix=prefix), noise, k,
+                    None, None,
+                )
+                buf.append(sample)
+                prefix = jnp.concatenate([prefix, sample], axis=1)[:, -ccfg.context_len:]
+            gen = jnp.concatenate(buf, axis=1)
 
-        return jnp.asarray(np.concatenate(buf, axis=1)[:, :required_frames])
+        if ccfg.autoregressive_include_prefix:
+            gen = jnp.concatenate([init_prefix, gen], axis=1)
+        return gen[:, :required_frames]
 
     def features_to_joints(self, feats: jnp.ndarray) -> jnp.ndarray:
         """Denormalize + decode hml_vec features to joints [B, T, J, 3]."""

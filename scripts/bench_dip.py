@@ -1,0 +1,88 @@
+"""DiP autoregressive latency bench on the real TPU.
+
+Reference claim: "ultra-fast" 10 diffusion steps / 2-s (40-frame) chunk per
+AR call (reference DiP.md:18-23). Measures our scan-based device-resident AR
+pipeline: ms per chunk and ms per generated second of motion, at B=32 and
+B=1 (interactive latency).
+
+Usage: python scripts/bench_dip.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdm_tpu.diffusion import Schedule
+from mdm_tpu.models import MDM, Conditioning, MDMConfig
+from mdm_tpu.sampling import GenerationConfig, MotionGenerator
+
+CONTEXT, PRED, FPS = 20, 40, 20  # DiP defaults: 2-s chunks at 20 fps
+
+
+def bench(B: int, n_chunks: int = 8, iters: int = 10):
+    cfg = MDMConfig(
+        njoints=263, nfeats=1, latent_dim=512, ff_size=1024, num_layers=8,
+        num_heads=4, arch="trans_dec", compute_dtype="bfloat16",
+        context_len=CONTEXT, pred_len=PRED,
+    )
+    model = MDM(cfg)
+    rng = np.random.default_rng(0)
+    prefix = jnp.asarray(rng.normal(size=(B, CONTEXT, 263)).astype(np.float32))
+    cond = Conditioning(
+        frames_mask=jnp.ones((B, PRED), bool),
+        text_embed=jnp.asarray(rng.normal(size=(B, 512)).astype(np.float32)),
+        prefix=prefix,
+    )
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((B, PRED, 263)),
+        jnp.zeros((B,), jnp.int32), cond,
+    )
+    # DiP: 10-step diffusion, guidance 7.5 (reference DiP.md / fixed_results)
+    sched = Schedule.create("cosine", 1000, timestep_respacing="10")
+    gen = MotionGenerator(
+        model, params, sched,
+        GenerationConfig(guidance_scale=7.5, autoregressive=True,
+                         context_len=CONTEXT, pred_len=PRED),
+        "humanml",
+    )
+    frames = n_chunks * PRED
+    key = jax.random.PRNGKey(1)
+
+    def run(k):
+        out = gen.sample_autoregressive(cond, B, k, required_frames=frames)
+        jax.block_until_ready(out)
+        return out
+
+    run(key)  # compile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        run(sub)
+    dt = (time.perf_counter() - t0) / iters
+    ms_per_chunk = dt / n_chunks * 1e3
+    return {
+        "B": B,
+        "n_chunks": n_chunks,
+        "ms_per_chunk": round(ms_per_chunk, 2),
+        "ms_per_motion_second": round(ms_per_chunk / (PRED / FPS), 2),
+        "ms_per_chunk_per_sample": round(ms_per_chunk / B, 3),
+        "realtime_factor": round((PRED / FPS) / (ms_per_chunk / 1e3), 1),
+    }
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    for B in (1, 32):
+        print(json.dumps(bench(B)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

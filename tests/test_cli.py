@@ -231,3 +231,38 @@ def test_generate_dynamic_text_autoregressive(tmp_path, synthetic_humanml, monke
     assert np.isfinite(results["motion"]).all()
     flat = {t for c in calls for t in c}
     assert {"a person walks", "a person jumps", "a person sits"} <= flat
+
+
+def test_train_a2m_eval_during_training(tmp_path, synthetic_humanact12, monkeypatch):
+    """HumanAct12 eval-during-training produces Eval-group scalars
+    (accuracy/FID/diversity per loader), matching the reference's in-training
+    a2m eval (train/training_loop.py:275-286). Round-2 verdict item 4."""
+    import mdm_tpu.train.platforms as platforms
+    from mdm_tpu.cli import train as train_cli
+
+    recorded = []
+
+    class RecordingPlatform(platforms.TrainPlatform):
+        def report_scalar(self, name, value, iteration, group_name=""):
+            recorded.append((group_name, name, value))
+
+    monkeypatch.setattr(
+        platforms, "get_platform",
+        lambda name, save_dir, **kw: RecordingPlatform(save_dir),
+    )
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    save_dir = str(tmp_path / "run_a2m_eval")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanact12",
+        "--data_dir", synthetic_humanact12,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--num_frames", "60",
+        "--eval_during_training", "--eval_rep_times", "1",
+        "--eval_num_samples", "4", "--eval_batch_size", "4",
+    ])
+    eval_keys = {name for group, name, _ in recorded if group == "Eval"}
+    for want in ("accuracy_gen", "fid_gen", "fid_gt2", "diversity_gen"):
+        assert want in eval_keys, (want, sorted(eval_keys))
+    # no SMPL asset + random classifier in this env -> stamped non-comparable
+    assert "eval_comparable" in eval_keys
