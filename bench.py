@@ -109,6 +109,53 @@ def scaling_main():
     }))
 
 
+def quality_main():
+    """Guarded quality bench: FID/R-precision of a converted REAL checkpoint
+    through the full eval protocol (debug mode). Requires the published
+    assets (checkpoint under ./save/, t2m evaluators, HumanML3D data); prints
+    an actionable error when they're absent. BASELINE.md's north star is
+    latency WITH metric parity — this is the metric half, one command away
+    the day assets are mounted (see docs/REAL_CHECKPOINTS.md)."""
+    import glob
+
+    ckpt = os.environ.get("MDM_TPU_REAL_CKPT")
+    if not ckpt:
+        hits = sorted(glob.glob("save/*/ckpt_*")) or sorted(glob.glob("save/*/model*.pt"))
+        ckpt = hits[0] if hits else None
+    missing = []
+    if ckpt is None:
+        missing.append("checkpoint (save/<run>/ckpt_* or model*.pt, or $MDM_TPU_REAL_CKPT)")
+    if not os.path.exists("t2m/text_mot_match/model/finest.tar"):
+        missing.append("t2m evaluators (prepare/download_t2m_evaluators.sh)")
+    if not (os.path.isdir("dataset/HumanML3D") or os.environ.get("MDM_TPU_DATA_DIR")):
+        missing.append("HumanML3D data (dataset/HumanML3D or $MDM_TPU_DATA_DIR)")
+    if missing:
+        print(json.dumps({
+            "metric": "quality_bench", "value": None, "unit": "FID",
+            "vs_baseline": None, "skipped_missing_assets": missing,
+        }))
+        return
+    if ckpt.endswith(".pt"):
+        from mdm_tpu.cli.convert_checkpoint import main as convert
+
+        out_dir = os.path.dirname(ckpt) + "_tpu"
+        convert(["--torch_ckpt", ckpt, "--out_dir", out_dir])
+        ckpt = sorted(glob.glob(os.path.join(out_dir, "ckpt_*")))[-1]
+    from mdm_tpu.cli.eval_humanml import main as eval_main
+
+    summary = eval_main([
+        "--model_path", ckpt, "--eval_mode", "debug",
+        "--data_dir", os.environ.get("MDM_TPU_DATA_DIR", "dataset/HumanML3D"),
+    ])
+    fid = float(summary["FID"]["vald"]["mean"])
+    print(json.dumps({
+        "metric": "quality_bench_fid", "value": round(fid, 4), "unit": "FID",
+        "comparable": bool(summary.get("comparable", False)),
+        # fixed_results.tex:21 (50-step model): FID 0.489
+        "vs_baseline": round(0.489 / max(fid, 1e-9), 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -168,5 +215,7 @@ def main():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_main()
+    elif "--quality" in sys.argv:
+        quality_main()
     else:
         main()

@@ -37,6 +37,23 @@ class TrainStepConfig:
     cond_mask_prob: float = 0.1  # CFG condition dropout
     # 'uniform' (reference default, training_loop.py:104) or 'loss-second-moment'
     schedule_sampler: str = "uniform"
+    # PRNG impl for dropout masks. 'unsafe_rbg' routes mask generation to the
+    # TPU hardware bit generator: measured 169 -> 114 ms/step at B=256 bf16
+    # (threefry mask generation + the fusion breakage around it costs ~47% of
+    # the step; see docs/BENCHMARKS.md). Same Bernoulli distribution, only
+    # the bitstream differs; dropout needs no inter-stream guarantees.
+    # 'threefry' restores the fully-partitionable default.
+    dropout_rng_impl: str = "unsafe_rbg"
+
+
+def _dropout_key(key: jax.Array, impl: str) -> jax.Array:
+    """Re-key the dropout stream onto a (possibly faster) PRNG impl."""
+    if impl in ("threefry", "threefry2x32"):
+        return key
+    data = jax.random.key_data(key) if jnp.issubdtype(
+        key.dtype, jax.dtypes.prng_key
+    ) else key
+    return jax.random.wrap_key_data(jnp.concatenate([data, data]), impl=impl)
 
 
 def quartile_metrics(losses: jnp.ndarray, t: jnp.ndarray, num_timesteps: int):
@@ -76,6 +93,7 @@ def make_train_step(
         B = x_start.shape[0]
 
         key_t, key_noise, key_drop, key_dropout = jax.random.split(key, 4)
+        key_dropout = _dropout_key(key_dropout, config.dropout_rng_impl)
         if loss_aware:
             t, weights = loss_aware_sample_t(key_t, sampler_state, B)
         else:

@@ -29,7 +29,12 @@ DIVERSITY_TIMES, MM_TIMES, REPS = 20, 5, 2
 def ref_eval(reference_path):
     """Import the reference eval_humanml with its GPU/venv-only deps stubbed."""
     def stub(name, **attrs):
+        import importlib.machinery
+
         m = types.ModuleType(name)
+        # a real ModuleSpec so later importlib.util.find_spec probes (e.g.
+        # transformers checking for optional spacy) don't crash on the stub
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules.setdefault(name, m)
