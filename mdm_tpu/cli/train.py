@@ -366,17 +366,39 @@ def batch_to_conditioning(batch, model_config):
     return Conditioning(frames_mask=jnp.asarray(batch["mask"]), **kw)
 
 
-def wrap_batches(data, model_config, goal_modifier=None):
-    import jax.numpy as jnp
+class WrappedBatches:
+    """Adapts loader batches to train-step inputs; forwards `iter_from` so
+    TrainLoop can fast-forward the stream on resume (bit-exact resume)."""
 
-    for batch in data:
-        if goal_modifier is not None:
-            batch = goal_modifier(batch)
-        yield {
+    def __init__(self, data, model_config, goal_modifier=None):
+        self.data = data
+        self.model_config = model_config
+        self.goal_modifier = goal_modifier
+
+    def _wrap(self, batch):
+        import jax.numpy as jnp
+
+        if self.goal_modifier is not None:
+            batch = self.goal_modifier(batch)
+        return {
             "x": jnp.asarray(batch["x"]),
             "mask": jnp.asarray(batch["mask"]),
-            "cond": batch_to_conditioning(batch, model_config),
+            "cond": batch_to_conditioning(batch, self.model_config),
         }
+
+    def __iter__(self):
+        return (self._wrap(b) for b in self.data)
+
+    def iter_from(self, start_step: int):
+        if hasattr(self.data, "iter_from"):
+            inner = self.data.iter_from(start_step)
+        else:
+            inner = iter(self.data)
+        return (self._wrap(b) for b in inner)
+
+
+def wrap_batches(data, model_config, goal_modifier=None):
+    return WrappedBatches(data, model_config, goal_modifier)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,16 @@ def get_dataset(
 
 
 class BatchIterator:
-    """Infinite (train) or epoch (eval) iterator of collated batches."""
+    """Infinite (train) or epoch (eval) iterator of collated batches.
+
+    Every batch is a PURE FUNCTION of (seed, epoch, position): epoch shuffles
+    and per-batch augmentation rngs are derived from SeedSequence tuples, not
+    a shared mutable stream. That makes `iter_from(step)` an O(1)
+    fast-forward, which is what gives training bit-deterministic resume
+    (train N steps == train k, checkpoint, resume, train N-k). The reference
+    has no such property — its DataLoader workers and global torch seed make
+    resumed runs drift (training_loop.py:385-397 restores only weights).
+    """
 
     def __init__(
         self,
@@ -66,18 +75,30 @@ class BatchIterator:
         self.drop_last = drop_last
         self.infinite = infinite
         self.pred_len = pred_len
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.prefetch = prefetch
         self.text_embedder = text_embedder
 
-    def _epoch_indices(self):
+    def _epoch_chunks(self, epoch: int):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
-        return idx
+            np.random.default_rng((self.seed, 0, epoch)).shuffle(idx)
+        chunks = []
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start : start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                # A dataset smaller than one batch would otherwise yield
+                # nothing forever; repeat-fill instead (t2m_collate
+                # semantics) so tiny datasets still train.
+                if len(idx) >= self.batch_size:
+                    continue
+                reps = -(-self.batch_size // len(chunk))
+                chunk = np.tile(chunk, reps)[: self.batch_size]
+            chunks.append(chunk)
+        return chunks
 
-    def _make_batch(self, indices):
-        samples = [self.dataset.sample(int(i), self.rng) for i in indices]
+    def _make_batch(self, indices, rng):
+        samples = [self.dataset.sample(int(i), rng) for i in indices]
         if self.pred_len > 0:
             batch = collate_prefix(samples, self.pred_len)
         else:
@@ -86,33 +107,32 @@ class BatchIterator:
             batch.update(self.text_embedder(batch["text"]))
         return batch
 
-    def _gen(self) -> Iterator[Dict]:
+    def batches_per_epoch(self) -> int:
+        return len(self._epoch_chunks(0))
+
+    def _gen(self, start_step: int = 0) -> Iterator[Dict]:
+        per_epoch = self.batches_per_epoch()
+        epoch, pos = divmod(start_step, max(per_epoch, 1))
         while True:
-            idx = self._epoch_indices()
-            for start in range(0, len(idx), self.batch_size):
-                chunk = idx[start : start + self.batch_size]
-                if len(chunk) < self.batch_size and self.drop_last:
-                    # A dataset smaller than one batch would otherwise yield
-                    # nothing forever; repeat-fill instead (t2m_collate
-                    # semantics) so tiny datasets still train.
-                    if len(idx) >= self.batch_size:
-                        continue
-                    reps = -(-self.batch_size // len(chunk))
-                    chunk = np.tile(chunk, reps)[: self.batch_size]
-                yield self._make_batch(chunk)
+            chunks = self._epoch_chunks(epoch)
+            for i in range(pos, len(chunks)):
+                rng = np.random.default_rng((self.seed, 1, epoch, i))
+                yield self._make_batch(chunks[i], rng)
+            pos = 0
+            epoch += 1
             if not self.infinite:
                 return
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _prefetched(self, gen) -> Iterator[Dict]:
         if self.prefetch <= 0:
-            yield from self._gen()
+            yield from gen
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         DONE = object()
 
         def producer():
             try:
-                for b in self._gen():
+                for b in gen:
                     q.put(b)
                 q.put(DONE)
             except BaseException as e:  # re-raised in the consumer
@@ -127,6 +147,13 @@ class BatchIterator:
             if isinstance(b, BaseException):
                 raise b
             yield b
+
+    def iter_from(self, start_step: int) -> Iterator[Dict]:
+        """Resume iteration as if `start_step` batches were already drawn."""
+        return self._prefetched(self._gen(start_step))
+
+    def __iter__(self) -> Iterator[Dict]:
+        return self._prefetched(self._gen(0))
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size

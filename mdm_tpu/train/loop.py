@@ -55,13 +55,16 @@ class TrainLoop:
     ):
         self.train_step = train_step
         self.state = state
-        self.data_iter = iter(data_iter)
         self.config = config
         self.platform = platform or NoPlatform(config.save_dir)
         self.logger = KVLogger(config.save_dir)
         self.eval_fn = eval_fn
         self.gen_fn = gen_fn
-        self.key = jax.random.PRNGKey(rng_seed)
+        # Per-step keys are fold_in(base, step) — a pure function of the step
+        # index, never a carried mutable stream — so a resumed run draws the
+        # exact keys the uninterrupted run would have (the reference restores
+        # only weights and lets torch's global RNG drift, training_loop.py:385).
+        self.base_key = jax.random.PRNGKey(rng_seed)
 
         os.makedirs(config.save_dir, exist_ok=True)
         if args is not None:
@@ -77,6 +80,14 @@ class TrainLoop:
                 print(f"resuming from {path}" + (f" (step {step})" if step >= 0 else ""))
                 self.state = restore_checkpoint(path, self.state)
 
+        # Fast-forward the data stream to the resumed step when the iterable
+        # supports it (BatchIterator.iter_from); together with fold_in keys
+        # this makes resume bit-exact. Plain generators just start fresh.
+        if hasattr(data_iter, "iter_from"):
+            self.data_iter = data_iter.iter_from(self.step)
+        else:
+            self.data_iter = iter(data_iter)
+
     @property
     def step(self) -> int:
         return int(np.asarray(self.state.step))
@@ -84,13 +95,16 @@ class TrainLoop:
     def run(self):
         cfg = self.config
         t_last = time.time()
-        while self.step < cfg.num_steps:
+        # Host-side mirror of state.step: avoids a blocking device read per
+        # iteration just to derive the step key / decide logging.
+        step = self.step
+        while step < cfg.num_steps:
             batch = next(self.data_iter)
             batch = shard_batch(batch)
-            self.key, sub = jax.random.split(self.key)
+            sub = jax.random.fold_in(self.base_key, step)
             self.state, metrics = self.train_step(self.state, batch, sub)
 
-            step = self.step
+            step += 1
             for k, v in metrics.items():
                 self.logger.logkv_mean(k, float(np.asarray(v)))
 

@@ -168,6 +168,67 @@ class TestLoopAndCheckpoints:
             os.environ.pop("MDM_TPU_TRAINING_TEST", None)
 
 
+class TestBitExactResume:
+    """train(N) == train(k) + checkpoint + resume + train(N-k), bit for bit.
+
+    The loop derives per-step keys with fold_in(base, step) and fast-forwards
+    a data iterable exposing iter_from(step); the reference restores only
+    weights and lets the torch RNG / DataLoader drift (training_loop.py:385).
+    """
+
+    class _StepData:
+        """Deterministic stand-in with the iter_from contract."""
+
+        def __iter__(self):
+            return self.iter_from(0)
+
+        def iter_from(self, start_step):
+            def gen():
+                i = start_step
+                while True:
+                    yield make_batch(np.random.default_rng(100 + i))
+                    i += 1
+
+            return gen()
+
+    def test_resume_is_bit_exact(self, tmp_path):
+        make_mesh()
+        model, params = setup_model()
+        sched = Schedule.create("cosine", 10)
+        config = TrainStepConfig(optim=OptimConfig(lr=1e-3))
+        step = make_train_step(model.apply, sched, config)
+
+        def run(save_dir, num_steps):
+            cfg = LoopConfig(
+                save_dir=str(save_dir), num_steps=num_steps,
+                log_interval=100, save_interval=3,
+            )
+            loop = TrainLoop(
+                step, create_train_state(params, config.optim),
+                self._StepData(), cfg, rng_seed=11,
+            )
+            loop.run()
+            return loop
+
+        straight = run(tmp_path / "a", 6)
+        assert straight.step == 6
+
+        interrupted = run(tmp_path / "b", 3)
+        assert interrupted.step == 3
+        resumed = run(tmp_path / "b", 6)  # picks up ckpt_000000003
+        assert resumed.step == 6
+
+        def same(p, q):
+            np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
+
+        jax.tree_util.tree_map(same, straight.state.params, resumed.state.params)
+        jax.tree_util.tree_map(same, straight.state.ema_params, resumed.state.ema_params)
+        jax.tree_util.tree_map(
+            lambda p, q: np.testing.assert_array_equal(np.asarray(p), np.asarray(q)),
+            straight.state.opt_state, resumed.state.opt_state,
+        )
+
+
 class TestLossAwareTrainStep:
     def test_loss_aware_sampler_in_step(self):
         make_mesh()
