@@ -100,17 +100,37 @@ def main(argv=None):
                 eval_mean=eval_mean, eval_std=eval_std,
             )
         }
+    eval_motion_loader_fns = {
+        "vald": lambda rep: GeneratedMotionLoader(
+            gen, gt_batches, text_embedder, seed=rep,
+            model_mean=train_stats[0] if train_stats else None,
+            model_std=train_stats[1] if train_stats else None,
+            eval_mean=eval_mean, eval_std=eval_std,
+        )
+    }
+    if args.t2m_baseline_path:
+        # Score the original T2M (Guo et al.) baseline generator alongside
+        # MDM (reference motion_loaders/model_motion_loaders.py:50-73).
+        from ..eval.t2m_generator import (
+            T2MBaselineGenerator, T2MBaselineLoader, T2MBaselineMMLoader,
+            load_comp_v6, load_len_estimator,
+        )
+
+        baseline_gen = T2MBaselineGenerator(
+            load_comp_v6(args.t2m_baseline_path),
+            load_len_estimator(args.t2m_len_est_path),
+            dim_pose=model.config.input_feats,
+            min_mov_length=10 if args.dataset == "humanml" else 6,
+        )
+        eval_motion_loader_fns["t2m_baseline"] = lambda rep: T2MBaselineLoader(
+            baseline_gen, gt_batches, seed=rep)
+        if run_mm:
+            mm_loader_fns["t2m_baseline"] = lambda rep: T2MBaselineMMLoader(
+                baseline_gen, gt_batches, seed=rep)
     summary = evaluation(
         eval_wrapper,
         gt_loader_fn=lambda: iter(gt_batches),
-        eval_motion_loader_fns={
-            "vald": lambda rep: GeneratedMotionLoader(
-                gen, gt_batches, text_embedder, seed=rep,
-                model_mean=train_stats[0] if train_stats else None,
-                model_std=train_stats[1] if train_stats else None,
-                eval_mean=eval_mean, eval_std=eval_std,
-            )
-        },
+        eval_motion_loader_fns=eval_motion_loader_fns,
         config=EvalConfig(
             replication_times=replication_times, run_mm=run_mm, log_file=log_file
         ),

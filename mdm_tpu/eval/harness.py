@@ -28,7 +28,7 @@ def _text_features(batch):
     stamps the output as such)."""
     if "word_embeddings" in batch:
         return batch["word_embeddings"], batch["pos_one_hots"], batch["sent_lens"], False
-    B = batch["x"].shape[0]
+    B = len(batch["sent_lens"]) if "sent_lens" in batch else batch["x"].shape[0]
     L = 22
     sent_lens = batch.get("sent_lens", np.full((B,), 4, np.int32))
     return (

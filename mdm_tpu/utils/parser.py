@@ -149,6 +149,11 @@ def add_evaluation_options(parser):
     g.add_argument("--eval_mode", default="wo_mm", choices=["wo_mm", "mm_short", "debug", "full"])
     g.add_argument("--guidance_param", default=2.5, type=float)
     g.add_argument("--autoregressive", action="store_true")
+    # Score the original T2M baseline generator alongside the MDM model
+    # (reference comp_v6_model_dataset.py via motion_loaders): path to the
+    # Comp_v6 `.tar` checkpoint and its sibling length-estimator checkpoint.
+    g.add_argument("--t2m_baseline_path", default="", type=str)
+    g.add_argument("--t2m_len_est_path", default="", type=str)
 
 
 def get_cond_mode(args) -> str:

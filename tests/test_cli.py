@@ -133,6 +133,63 @@ def test_eval_humanml_cli_smoke(tmp_path, synthetic_humanml, monkeypatch):
     assert np.isfinite(summary["FID"]["vald"]["mean"])
 
 
+def test_eval_humanml_with_t2m_baseline(tmp_path, synthetic_humanml, monkeypatch):
+    """--t2m_baseline_path scores the original T2M generator alongside MDM
+    (reference motion_loaders/model_motion_loaders.py:50-73 CompV6 path)."""
+    import sys
+    import types
+
+    import torch
+
+    from mdm_tpu.cli import eval_humanml as ev_cli
+    from mdm_tpu.cli import train as train_cli
+
+    sys.path.append("/root/reference")
+    sys.modules.setdefault("spacy", types.ModuleType("spacy"))
+    import data_loaders.humanml.networks.modules as modules
+
+    # Random-weight published-architecture CompV6 + length estimator ckpts.
+    torch.manual_seed(2)
+    text_size = 1024
+    state = {
+        "text_enc": modules.TextEncoderBiGRU(300, 15, 512, "cpu").state_dict(),
+        "seq_pri": modules.TextDecoder(text_size, 512 + 512, 128, 1024, 1).state_dict(),
+        "seq_dec": modules.TextVAEDecoder(text_size, 512 + 128 + 512, 512, 1024, 1).state_dict(),
+        "att_layer": modules.AttLayer(1024, text_size, 512).state_dict(),
+        "mov_enc": modules.MovementConvEncoder(259, 512, 512).state_dict(),
+        "mov_dec": modules.MovementConvDecoder(512, 512, 263).state_dict(),
+        "ep": 0,
+    }
+    comp_path = str(tmp_path / "latest.tar")
+    torch.save(state, comp_path)
+    est = modules.MotionLenEstimatorBiGRU(300, 15, 512, 50)
+    len_path = str(tmp_path / "length_est.tar")
+    torch.save({"estimator": est.state_dict()}, len_path)
+
+    save_dir = str(tmp_path / "run_ev_base")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    summary = ev_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--data_dir", synthetic_humanml,
+        "--eval_mode", "debug",
+        "--t2m_baseline_path", comp_path,
+        "--t2m_len_est_path", len_path,
+    ])
+    for metric in ("FID", "Matching Score", "R_precision", "Diversity"):
+        assert "t2m_baseline" in summary[metric], metric
+    assert np.isfinite(summary["FID"]["t2m_baseline"]["mean"])
+    # MDM side still evaluated
+    assert np.isfinite(summary["FID"]["vald"]["mean"])
+
+
 @pytest.fixture()
 def synthetic_humanact12(tmp_path):
     import pickle
