@@ -108,6 +108,33 @@ def scaling_main():
         "vs_baseline": None if not on_tpu else round((B / dt / n) / 690.0, 2),
     }))
 
+    # DP sampling scaling: the eval-protocol generation path sharded over
+    # the same mesh (MotionGenerator mesh=...).
+    from mdm_tpu.diffusion import Schedule as _S
+    from mdm_tpu.parallel import get_mesh
+    from mdm_tpu.sampling import GenerationConfig, MotionGenerator
+
+    sched50 = _S.create("cosine", 1000, timestep_respacing="50" if on_tpu else "5")
+    gen = MotionGenerator(
+        model, {"params": params}, sched50,
+        GenerationConfig(guidance_scale=2.5), "humanml", mesh=get_mesh(),
+    )
+    key = jax.random.PRNGKey(2)
+    feats = gen.sample_features(cond, B, T, key)
+    jax.block_until_ready(feats)
+    t0 = time.perf_counter()
+    for i in range(5):
+        feats = gen.sample_features(cond, B, T, jax.random.fold_in(key, i))
+    jax.block_until_ready(feats)
+    dt = (time.perf_counter() - t0) / 5
+    print(json.dumps({
+        "metric": "dp_sampling_samples_per_s_per_chip",
+        "value": round(B / dt / n, 1),
+        "unit": f"samples/s/chip (50-step CFG, n={n}, global_batch={B}, "
+                f"platform={jax.devices()[0].platform})",
+        "vs_baseline": None if not on_tpu else round((B / dt / n) / 2.5, 2),
+    }))
+
 
 def quality_main():
     """Guarded quality bench: FID/R-precision of a converted REAL checkpoint

@@ -57,9 +57,12 @@ def main(argv=None):
         ckpt = found[0]
     params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
 
+    from ..sampling import auto_mesh
+
     gen = MotionGenerator(
         model, params, sched,
         GenerationConfig(guidance_scale=args.guidance_param), args.dataset,
+        mesh=auto_mesh(),
     )
 
     # UESTC's STGCN classifier consumes rot6d features (without the

@@ -70,12 +70,15 @@ def main(argv=None):
 
     train_stats = dataset_norm_stats(args.data_dir or None)
     eval_mean, eval_std = dataset.mean, dataset.std  # evaluator-family stats
+    from ..sampling import auto_mesh
+
     gen = MotionGenerator(
         model, params, sched,
         GenerationConfig(guidance_scale=args.guidance_param,
                          autoregressive=args.autoregressive),
         args.dataset,
         norm_stats=train_stats,
+        mesh=auto_mesh(),
     )
     embedder = make_text_embedder(args.text_encoder_type)
 

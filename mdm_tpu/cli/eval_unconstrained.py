@@ -52,8 +52,11 @@ def main(argv=None):
         ckpt = found[0]
     params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
 
+    from ..sampling import auto_mesh
+
     gen = MotionGenerator(
-        model, params, sched, GenerationConfig(guidance_scale=1.0), "humanact12"
+        model, params, sched, GenerationConfig(guidance_scale=1.0), "humanact12",
+        mesh=auto_mesh(),
     )
 
     smpl = SMPLModel.load()

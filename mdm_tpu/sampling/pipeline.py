@@ -23,6 +23,20 @@ from ..models.mdm import MDM, Conditioning, MDMConfig, cfg_denoiser
 STATS_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets", "stats")
 
 
+def auto_mesh():
+    """Data-parallel mesh over all visible devices for sampling/eval CLIs.
+
+    Returns None on a single device — NamedSharding annotations on a
+    1-device mesh cost per-call relayout copies (docs/BENCHMARKS.md
+    pitfalls), so single-chip runs stay annotation-free.
+    """
+    if len(jax.devices()) <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh()
+
+
 def load_norm_stats(dataset: str = "humanml"):
     """Bundled evaluator-family stats (assets/stats) — fallback only."""
     prefix = "t2m" if dataset == "humanml" else "kit"
@@ -68,14 +82,27 @@ class MotionGenerator:
         config: GenerationConfig = GenerationConfig(),
         dataset: str = "humanml",
         norm_stats=None,
+        mesh=None,
     ):
         """norm_stats: (mean, std) the MODEL was trained with (the dataset's
         Mean/Std.npy — reference inv_transform, dataset.py:309-310). Falls
         back to the bundled t2m/kit stats when not provided (close but not
         identical; pass the real train stats whenever the data dir exists).
+
+        mesh: optional multi-device `jax.sharding.Mesh` (with a 'data' axis).
+        When given, params are replicated and every sampling batch is sharded
+        over the data axis — generation and the eval protocol scale linearly
+        with chip count (new capability; the reference is single-GPU). On a
+        1-device mesh the annotations are skipped entirely (they cost per-call
+        relayout copies).
         """
         self.model = model
         self.params = params
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self.params = jax.device_put(params, replicated(self.mesh))
         self.sched = sched
         self.config = config
         if config.cfg_cache_interval > 1 and config.sampler not in ("ddpm", "ddim"):
@@ -176,6 +203,29 @@ class MotionGenerator:
 
             self._to_joints_jit = jax.jit(_to_joints)
 
+    def _shard(self, tree, axis: int = 0):
+        """Shard every array's `axis` over the mesh data axis (no-op without
+        a mesh, or for leaves whose batch dim doesn't divide)."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        dp = self.mesh.shape[DATA_AXIS]
+
+        def put(x):
+            if x is None or not hasattr(x, "ndim"):
+                return x
+            x = jnp.asarray(x)
+            if x.ndim <= axis or x.shape[axis] % dp != 0:
+                return x
+            spec = [None] * x.ndim
+            spec[axis] = DATA_AXIS
+            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+        return jax.tree_util.tree_map(put, tree)
+
     # ------------------------------------------------------------ public API
     def sample_features(
         self,
@@ -190,6 +240,9 @@ class MotionGenerator:
         D = self.model.config.input_feats
         key, nk = jax.random.split(key)
         noise = jax.random.normal(nk, (batch_size, num_frames, D), jnp.float32)
+        noise, cond, inpainting_mask, inpainted_motion = self._shard(
+            (noise, cond, inpainting_mask, inpainted_motion)
+        )
         return self._sample_jit(
             self.params, cond, noise, key, inpainting_mask, inpainted_motion
         )
@@ -227,6 +280,8 @@ class MotionGenerator:
         keys = jax.random.split(key, n_iters)
         try:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_chunk)
+            init_prefix = self._shard(init_prefix)
+            stacked = self._shard(stacked, axis=1)  # [n_iters, B, ...]
             gen = self._ar_scan_jit(self.params, init_prefix, stacked, keys)
         except (TypeError, ValueError):
             # Structurally inhomogeneous per-chunk conditioning: host loop,

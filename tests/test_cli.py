@@ -136,6 +136,7 @@ def test_eval_humanml_cli_smoke(tmp_path, synthetic_humanml, monkeypatch):
 def test_eval_humanml_with_t2m_baseline(tmp_path, synthetic_humanml, monkeypatch):
     """--t2m_baseline_path scores the original T2M generator alongside MDM
     (reference motion_loaders/model_motion_loaders.py:50-73 CompV6 path)."""
+    import importlib.machinery
     import sys
     import types
 
@@ -145,7 +146,11 @@ def test_eval_humanml_with_t2m_baseline(tmp_path, synthetic_humanml, monkeypatch
     from mdm_tpu.cli import train as train_cli
 
     sys.path.append("/root/reference")
-    sys.modules.setdefault("spacy", types.ModuleType("spacy"))
+    if "spacy" not in sys.modules:
+        _m = types.ModuleType("spacy")
+        # real ModuleSpec so transformers' find_spec probe doesn't crash
+        _m.__spec__ = importlib.machinery.ModuleSpec("spacy", None)
+        sys.modules["spacy"] = _m
     import data_loaders.humanml.networks.modules as modules
 
     # Random-weight published-architecture CompV6 + length estimator ckpts.

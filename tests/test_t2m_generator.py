@@ -30,9 +30,22 @@ UNIT = 4
 SEQ_LEN = 10
 
 
+def _stub_spacy():
+    import importlib.machinery
+    import sys
+    import types
+
+    if "spacy" not in sys.modules:
+        m = types.ModuleType("spacy")
+        # real ModuleSpec so later importlib.util.find_spec probes (e.g.
+        # transformers checking for optional spacy) don't crash on the stub
+        m.__spec__ = importlib.machinery.ModuleSpec("spacy", None)
+        sys.modules["spacy"] = m
+
+
 @pytest.fixture(scope="module")
 def ref_mods(reference_path):
-    sys.modules.setdefault("spacy", types.ModuleType("spacy"))
+    _stub_spacy()
     import data_loaders.humanml.networks.modules as modules
     from data_loaders.humanml.networks.trainers import CompTrainerV6
 
