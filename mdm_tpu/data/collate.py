@@ -32,7 +32,9 @@ def collate_batch(
         reps = -(-target_batch_size // len(samples))
         samples = (samples * reps)[:target_batch_size]
 
-    x = np.stack([s["motion"] for s in samples]).astype(np.float32)
+    # copy=False: samples already produce f32, so this is stack-only (the
+    # default astype re-copied the whole [B, 196, 263] batch).
+    x = np.stack([s["motion"] for s in samples]).astype(np.float32, copy=False)
     lengths = np.asarray([s["length"] for s in samples], np.int32)
     batch = {
         "x": x,

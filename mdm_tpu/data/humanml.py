@@ -316,13 +316,19 @@ class HumanMLDataset:
         if opt.disable_offset_aug:
             start = int(rng.integers(opt.unit_length + 1))
         motion = clip.motion[start : start + m_length]
-        motion = (motion - self.mean) / self.std
 
         T = opt.max_motion_length
         if opt.fixed_len > 0:
             T = opt.fixed_len
-        padded = np.zeros((T, opt.dim_pose), np.float32)
-        padded[: len(motion)] = motion
+        # Normalize in-place into the padded buffer: one allocation, no
+        # (motion - mean)/std temporaries (this path feeds the TPU at
+        # >2.5k samples/s — see docs/BENCHMARKS.md host-pipeline section).
+        padded = np.empty((T, opt.dim_pose), np.float32)
+        L = len(motion)
+        padded[:L] = motion
+        padded[L:] = 0.0
+        padded[:L] -= self.mean
+        padded[:L] /= self.std
 
         tokens = entry.tokens
         if len(tokens) < opt.max_text_len:

@@ -67,6 +67,7 @@ class BatchIterator:
         infinite: bool = True,
         pred_len: int = 0,
         prefetch: int = 2,
+        workers: int = 0,
         text_embedder: Optional[Callable] = None,
     ):
         self.dataset = dataset
@@ -77,7 +78,13 @@ class BatchIterator:
         self.pred_len = pred_len
         self.seed = seed
         self.prefetch = prefetch
+        # workers > 0: batches are built by a thread pool (numpy releases the
+        # GIL on the memcpy/normalize hot path). Safe and ORDER-PRESERVING
+        # precisely because each batch is a pure function of its position —
+        # the reference's worker processes have no such guarantee.
+        self.workers = workers
         self.text_embedder = text_embedder
+        self._embed_lock = threading.Lock()
 
     def _epoch_chunks(self, epoch: int):
         idx = np.arange(len(self.dataset))
@@ -104,24 +111,65 @@ class BatchIterator:
         else:
             batch = collate_batch(samples, target_batch_size=self.batch_size)
         if self.text_embedder is not None and "text" in batch:
-            batch.update(self.text_embedder(batch["text"]))
+            # Embedders may dispatch device work; keep those calls serial
+            # even when worker threads build batches.
+            with self._embed_lock:
+                batch.update(self.text_embedder(batch["text"]))
         return batch
+
+    def _batch_at(self, epoch: int, pos: int, chunk) -> Dict:
+        rng = np.random.default_rng((self.seed, 1, epoch, pos))
+        return self._make_batch(chunk, rng)
 
     def batches_per_epoch(self) -> int:
         return len(self._epoch_chunks(0))
 
-    def _gen(self, start_step: int = 0) -> Iterator[Dict]:
+    def _positions(self, start_step: int):
+        """(epoch, pos, chunk) schedule starting at `start_step`."""
         per_epoch = self.batches_per_epoch()
         epoch, pos = divmod(start_step, max(per_epoch, 1))
         while True:
             chunks = self._epoch_chunks(epoch)
             for i in range(pos, len(chunks)):
-                rng = np.random.default_rng((self.seed, 1, epoch, i))
-                yield self._make_batch(chunks[i], rng)
+                yield epoch, i, chunks[i]
             pos = 0
             epoch += 1
             if not self.infinite:
                 return
+
+    def _gen(self, start_step: int = 0) -> Iterator[Dict]:
+        for epoch, i, chunk in self._positions(start_step):
+            yield self._batch_at(epoch, i, chunk)
+
+    def _gen_parallel(self, start_step: int = 0) -> Iterator[Dict]:
+        """Thread-pool batch construction, yielded strictly in order —
+        bit-identical to the serial stream (batches are pure functions of
+        their position, so parallelism can't change anything)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        schedule = self._positions(start_step)
+        depth = self.workers + max(self.prefetch, 1)
+        ex = ThreadPoolExecutor(max_workers=self.workers)
+        pending: "deque" = deque()
+
+        def top_up():
+            while len(pending) < depth:
+                try:
+                    pending.append(ex.submit(self._batch_at, *next(schedule)))
+                except StopIteration:
+                    return
+
+        try:
+            top_up()
+            while pending:
+                batch = pending.popleft().result()
+                top_up()
+                yield batch
+        finally:
+            # Abandoned iterators must not block on in-flight batches (a
+            # joining shutdown also races interpreter teardown).
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def _prefetched(self, gen) -> Iterator[Dict]:
         if self.prefetch <= 0:
@@ -150,10 +198,12 @@ class BatchIterator:
 
     def iter_from(self, start_step: int) -> Iterator[Dict]:
         """Resume iteration as if `start_step` batches were already drawn."""
+        if self.workers > 0:
+            return self._gen_parallel(start_step)
         return self._prefetched(self._gen(start_step))
 
     def __iter__(self) -> Iterator[Dict]:
-        return self._prefetched(self._gen(0))
+        return self.iter_from(0)
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size

@@ -25,6 +25,12 @@ def add_base_options(parser):
     g = parser.add_argument_group("base")
     g.add_argument("--seed", default=10, type=int)
     g.add_argument("--batch_size", default=64, type=int)
+    g.add_argument("--cuda", default=True, type=bool,
+                   help="accepted for reference-arg compat; N/A on TPU "
+                        "(reference parser_util.py:76)")
+    g.add_argument("--external_mode", default=False, type=bool,
+                   help="accepted for compat; backward-compat no-op in the "
+                        "reference too (parser_util.py:82)")
     g.add_argument("--device", default=0, type=int,
                    help="accepted for reference-arg compat; device selection "
                         "is mesh-driven on TPU")

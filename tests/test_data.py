@@ -297,6 +297,18 @@ class TestBatchIteratorDeterminism:
                 np.testing.assert_array_equal(x["x"], y["x"])
                 np.testing.assert_array_equal(x["lengths"], y["lengths"])
 
+    def test_worker_pool_stream_identical_and_terminates(self):
+        """workers>0 builds batches in a thread pool but the stream is
+        bit-identical to serial (batches are pure functions of position),
+        and finite iteration still terminates."""
+        ds = self._RandDataset()
+        serial = self._take(iter(BatchIterator(ds, batch_size=4, seed=7, prefetch=0)), 5)
+        par = self._take(iter(BatchIterator(ds, batch_size=4, seed=7, workers=3)), 5)
+        for x, y in zip(serial, par):
+            np.testing.assert_array_equal(x["x"], y["x"])
+        finite = list(BatchIterator(ds, batch_size=4, seed=7, workers=3, infinite=False))
+        assert len(finite) == 2
+
     def test_seed_changes_stream(self):
         ds = self._RandDataset()
         a = self._take(iter(BatchIterator(ds, batch_size=4, seed=7, prefetch=0)), 1)
