@@ -68,7 +68,33 @@ class MultiHeadAttention(nn.Module):
         k = nn.Dense(D, name="k_proj", dtype=cdt)(key)
         v = nn.Dense(D, name="v_proj", dtype=cdt)(value)
 
-        from ..ops import pallas_attention_enabled
+        from ..ops import pallas_attention_enabled, pallas_train_attention_enabled
+
+        # Training path: fused attention with in-kernel dropout (no
+        # [B,H,S,S] prob/mask tensors in HBM, flash-style custom VJP).
+        use_dropout_kernel = (
+            pallas_train_attention_enabled()
+            and jax.default_backend() == "tpu"  # kernel uses the TPU PRNG
+            and not deterministic
+            and self.dropout > 0.0
+            and query.shape[1] == key.shape[1]
+            and (attn_bias is None or attn_bias.shape[-2] == 1)
+            and D % 128 == 0
+        )
+        if use_dropout_kernel:
+            from ..ops.attention_dropout import fused_dropout_attention
+
+            kpm = None
+            if attn_bias is not None:
+                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[:, -key.shape[1]:] < -1e8
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32,
+            )
+            out = fused_dropout_attention(
+                q, k, v, H, self.dropout, seed, key_padding_mask=kpm
+            )
+            return nn.Dense(D, name="out_proj", dtype=cdt)(out.astype(cdt))
 
         use_v2 = (
             pallas_attention_enabled()
