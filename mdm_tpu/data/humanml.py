@@ -63,8 +63,9 @@ class HumanMLOptions:
             return cls(dataset_name="t2m", data_root=data_root or "./dataset/HumanML3D",
                        joints_num=22, dim_pose=263, **kw)
         if name == "kit":
+            kw.setdefault("max_motion_length", 196)
             return cls(dataset_name="kit", data_root=data_root or "./dataset/KIT-ML",
-                       joints_num=21, dim_pose=251, max_motion_length=196, **kw)
+                       joints_num=21, dim_pose=251, **kw)
         raise ValueError(name)
 
 

@@ -84,6 +84,56 @@ def test_train_then_generate(tmp_path, synthetic_humanml, monkeypatch):
     assert np.isfinite(r2["motion"]).all()
 
 
+@pytest.fixture()
+def synthetic_kit(tmp_path):
+    rng = np.random.default_rng(2)
+    root = tmp_path / "KIT-ML"
+    (root / "new_joint_vecs").mkdir(parents=True)
+    (root / "texts").mkdir()
+    for i in range(5):
+        name = f"{i:05d}"
+        L = int(rng.integers(30, 150))
+        np.save(root / "new_joint_vecs" / f"{name}.npy",
+                rng.normal(size=(L, 251)).astype(np.float32))
+        (root / "texts" / f"{name}.txt").write_text(
+            "a human waves#a/DET human/NOUN wave/VERB#0.0#0.0\n"
+        )
+    for split in ("train", "test"):
+        (root / f"{split}.txt").write_text("\n".join(f"{i:05d}" for i in range(5)))
+    np.save(root / "Mean.npy", np.zeros(251, np.float32))
+    np.save(root / "Std.npy", np.ones(251, np.float32))
+    return str(root)
+
+
+def test_train_then_generate_kit(tmp_path, synthetic_kit, monkeypatch):
+    """KIT end-to-end: 251-d hml_vec, 21 joints, kit min-length filters."""
+    from mdm_tpu.cli import generate as gen_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_kit")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "kit",
+        "--data_dir", synthetic_kit,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    assert ckpts
+    out_dir = str(tmp_path / "kit_samples")
+    gen_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--num_samples", "2", "--num_repetitions", "1",
+        "--motion_length", "1.0", "--output_dir", out_dir, "--seed", "3",
+    ])
+    results = np.load(os.path.join(out_dir, "results.npy"), allow_pickle=True).item()
+    # [B, T, J, 3]; KIT runs at 12.5 fps (reference generate.py:32) and has
+    # a 21-joint skeleton.
+    assert results["motion"].shape == (2, 12, 21, 3)
+    assert np.isfinite(results["motion"]).all()
+
+
 def test_edit_cli(tmp_path, synthetic_humanml, monkeypatch):
     from mdm_tpu.cli import edit as edit_cli
     from mdm_tpu.cli import train as train_cli
