@@ -47,11 +47,14 @@ def main(argv=None):
     max_frames = 196 if args.dataset in ("humanml", "kit") else 60
     n_frames = min(max_frames, int(args.motion_length * fps))
 
-    model, _ = create_model_and_schedule(args)
+    # dataset -> action-class count (reference model_util.py:24-71)
+    num_actions = {"humanact12": 12, "uestc": 40}.get(args.dataset, 1)
+    model, _ = create_model_and_schedule(args, num_actions)
     sched = create_schedule(args, timestep_respacing=None)
 
     prompts, dynamic = load_prompts(args)
     dataset_prefix = None
+    dataset_actions = None
     if prompts is None:
         # Prompt source of last resort: the dataset's test split
         # (reference generate.py uses hml_mode='text_only'; 'train' for AR
@@ -67,7 +70,11 @@ def main(argv=None):
                 pred_len=model.config.pred_len if args.autoregressive else 0,
             )
             batch = next(iter(loader))
-            prompts = list(batch.get("text", []))[: args.num_samples]
+            prompts = list(
+                batch.get("text", batch.get("action_text", []))
+            )[: args.num_samples]
+            if "action" in batch:  # a2m fallback: indices come with the batch
+                dataset_actions = np.asarray(batch["action"])[: args.num_samples]
             if args.autoregressive and "prefix" in batch:
                 dataset_prefix = batch["prefix"][: args.num_samples]
         except Exception as e:
@@ -75,6 +82,31 @@ def main(argv=None):
             prompts = ["a person walks forward"] * args.num_samples
     B = min(len(prompts), args.num_samples) or args.num_samples
     prompts = prompts[:B]
+
+    # Action-conditioned models: prompts are action names/indices -> the
+    # EmbedAction table index (reference generate.py:66-74,100-119 builds
+    # y['action'] from the dataset's action mapping).
+    action_idx = None
+    if "action" in model.config.cond_mode and dataset_actions is not None:
+        action_idx = jnp.asarray(dataset_actions[:B], jnp.int32)
+    elif "action" in model.config.cond_mode:
+        from ..data.a2m import HUMANACT12_ACTIONS
+
+        name_to_idx = {v: k for k, v in HUMANACT12_ACTIONS.items()}
+        idxs = []
+        for p in prompts:
+            name = p[0] if isinstance(p, list) else p
+            if isinstance(name, (int,)) or (isinstance(name, str) and name.isdigit()):
+                idxs.append(int(name))
+            elif isinstance(name, str) and name in name_to_idx:
+                idxs.append(name_to_idx[name])
+            else:
+                raise SystemExit(
+                    f"unknown action {name!r}; pass a HumanAct12 action name "
+                    f"({', '.join(HUMANACT12_ACTIONS.values())}) or a numeric "
+                    f"class index"
+                )
+        action_idx = jnp.asarray(idxs, jnp.int32)
     if dynamic:
         assert args.autoregressive, "--dynamic_text_path requires --autoregressive"
         # each chunk prompt drives exactly one prediction window
@@ -90,7 +122,9 @@ def main(argv=None):
             prefix0 = jnp.zeros((B, model.config.context_len, model.config.input_feats))
     cond0 = Conditioning(
         frames_mask=jnp.ones((B, n_frames), bool),
-        text_embed=jnp.zeros((B, model.config.text_dim)),
+        text_embed=(jnp.zeros((B, model.config.text_dim))
+                    if "text" in model.config.cond_mode else None),
+        action=action_idx,
         prefix=prefix0,
     )
     params = jax.jit(model.init)(

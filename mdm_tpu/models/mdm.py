@@ -266,6 +266,11 @@ class MDM(nn.Module):
                             [jnp.zeros((B, 1), bool), text_mask_inv], axis=1
                         )
             if "action" in cfg.cond_mode:
+                if cond.action is None:
+                    raise ValueError(
+                        "cond_mode includes 'action' but Conditioning.action "
+                        "is None — pass [B] int action indices"
+                    )
                 action_emb = EmbedAction(
                     cfg.num_actions, cfg.latent_dim, name="embed_action"
                 )(cond.action)

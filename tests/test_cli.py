@@ -280,6 +280,51 @@ def test_train_action_conditioned(tmp_path, synthetic_humanact12, monkeypatch):
         saved = json.load(f)
     assert saved["cond_mode"] == "action"
 
+    # --action_name prompt source (reference generate.py:66-74)
+    from mdm_tpu.cli import generate as gen_cli
+
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    out_dir = str(tmp_path / "a2m_samples")
+    gen_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--data_dir", synthetic_humanact12,
+        "--action_name", "warm_up",
+        "--num_samples", "2", "--num_repetitions", "1",
+        "--motion_length", "2.0", "--output_dir", out_dir, "--seed", "4",
+    ])
+    results = np.load(os.path.join(out_dir, "results.npy"), allow_pickle=True).item()
+    assert results["motion"].shape[0] == 2
+    assert np.isfinite(results["motion"]).all()
+
+
+def test_generate_input_text_file(tmp_path, synthetic_humanml, monkeypatch):
+    """--input_text: one generation per line (reference generate.py:56-60)."""
+    from mdm_tpu.cli import generate as gen_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_it")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a person walks\na person jumps\na person waves\n")
+    out_dir = str(tmp_path / "it_samples")
+    gen_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--input_text", str(prompts),
+        "--num_repetitions", "1",
+        "--motion_length", "1.0", "--output_dir", out_dir, "--seed", "4",
+    ])
+    results = np.load(os.path.join(out_dir, "results.npy"), allow_pickle=True).item()
+    assert results["motion"].shape[0] == 3  # one per prompt line
+    assert results["text"] == ["a person walks", "a person jumps", "a person waves"]
+
 
 def test_train_unconstrained(tmp_path, synthetic_humanact12, monkeypatch):
     """Unconstrained (no_cond) training path through the CLI."""
