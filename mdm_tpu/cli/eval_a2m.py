@@ -17,8 +17,7 @@ def main(argv=None):
 
     from ..data import get_dataset
     from ..eval.a2m_setup import (
-        build_a2m_classifier,
-        make_a2m_feature_input,
+        build_feature_and_classifier,
         make_a2m_loaders_factory,
     )
     from ..eval.harness_a2m import (
@@ -66,13 +65,13 @@ def main(argv=None):
     )
 
     # UESTC's STGCN classifier consumes rot6d features (without the
-    # translation row, stgcn_eval.py:58-60); HumanAct12's GRU consumes xyz.
-    feature_input = make_a2m_feature_input(args.dataset)
+    # translation row, stgcn_eval.py:58-60); HumanAct12's GRU consumes xyz
+    # (degrades to raw features when the SMPL asset is absent).
+    feature_input, clf, clf_params, degraded = build_feature_and_classifier(
+        args.dataset, num_actions, num_frames, model.config.input_feats
+    )
     make_loaders = make_a2m_loaders_factory(
         dataset, gen, B, num_frames, feature_input
-    )
-    clf, clf_params, degraded = build_a2m_classifier(
-        args.dataset, num_actions, num_frames
     )
 
     ev = A2MEvaluation(clf, clf_params, config=A2MEvalConfig(num_classes=num_actions))

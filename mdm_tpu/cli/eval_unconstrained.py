@@ -59,10 +59,20 @@ def main(argv=None):
         mesh=auto_mesh(),
     )
 
-    smpl = SMPLModel.load()
-    r2x_cfg = Rot2XYZConfig(jointstype="smpl", vertstrans=True)
-    get_xyz = jax.jit(lambda feats: rot2xyz(
-        smpl, feats.reshape(feats.shape[0], feats.shape[1], 25, 6), r2x_cfg))
+    degraded = []
+    try:
+        smpl = SMPLModel.load()
+        r2x_cfg = Rot2XYZConfig(jointstype="smpl", vertstrans=True)
+        get_xyz = jax.jit(lambda feats: rot2xyz(
+            smpl, feats.reshape(feats.shape[0], feats.shape[1], 25, 6), r2x_cfg))
+    except FileNotFoundError as e:
+        # Without the SMPL asset there is no xyz decode; reinterpret the raw
+        # rotation features as pseudo-joints so the protocol still runs end
+        # to end — stamped non-comparable below.
+        print(f"WARNING: SMPL asset missing ({e}); pseudo-joint features")
+        degraded.append("no-smpl-asset")
+        get_xyz = jax.jit(lambda feats: feats[..., :72].reshape(
+            feats.shape[0], feats.shape[1], 24, 3))
 
     # STGCN feature extractor (modified-structure checkpoint, frozen).
     stg_cfg = STGCNConfig(in_channels=3, num_class=12, layout="openpose",
@@ -78,6 +88,7 @@ def main(argv=None):
         stg_params = convert_stgcn({k: v.numpy() for k, v in sd.items()}, stg_cfg)
     else:
         print(f"WARNING: {clf_path} missing; random STGCN features")
+        degraded.append("random-init-stgcn-features")
         stg_params = stgcn.init(
             jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 15, 3))
         )
@@ -103,6 +114,9 @@ def main(argv=None):
         np.concatenate(gen_feats), np.concatenate(gt_feats),
         fast=(args.eval_mode == "debug"),
     )
+    metrics["comparable"] = not degraded
+    if degraded:
+        metrics["degraded_reasons"] = degraded
     out_path = os.path.join(os.path.dirname(ckpt), "eval_unconstrained.json")
     with open(out_path, "w") as f:
         json.dump(metrics, f, indent=2)

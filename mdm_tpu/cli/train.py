@@ -233,36 +233,16 @@ def make_a2m_eval_during_training(args, model, dataset, num_frames):
 
     from ..diffusion import Schedule
     from ..eval.a2m_setup import (
-        build_a2m_classifier,
-        make_a2m_feature_input,
+        build_feature_and_classifier,
         make_a2m_loaders_factory,
     )
     from ..eval.harness_a2m import A2MEvalConfig, A2MEvaluation, evaluate_multi_seed
     from ..sampling import GenerationConfig, MotionGenerator
 
     num_actions = getattr(dataset, "num_actions", 1)
-    clf, clf_params, degraded = build_a2m_classifier(args.dataset, num_actions, num_frames)
-    try:
-        feature_input = make_a2m_feature_input(args.dataset)
-    except FileNotFoundError as e:
-        # humanact12's GRU classifier consumes SMPL xyz; without the SMPL
-        # asset, classify the raw rot6d features with a random-init GRU so
-        # the protocol still runs end-to-end — stamped non-comparable.
-        import jax
-        import jax.numpy as jnp
-
-        from ..eval.classifiers import MotionDiscriminator
-
-        print(f"eval_during_training: SMPL asset missing ({e}); "
-              "degrading to raw-feature classifier (non-comparable)")
-        degraded = True
-        feature_input = lambda feats: feats
-        D = model.config.input_feats
-        clf = MotionDiscriminator(D, 128, 2, num_actions)
-        clf_params = jax.jit(clf.init)(
-            jax.random.PRNGKey(1), jnp.zeros((1, num_frames, D)),
-            jnp.array([num_frames]),
-        )
+    feature_input, clf, clf_params, degraded = build_feature_and_classifier(
+        args.dataset, num_actions, num_frames, model.config.input_feats
+    )
     max_batches = max(1, args.eval_num_samples // max(1, args.eval_batch_size))
 
     def eval_fn(state, step):

@@ -70,6 +70,37 @@ def build_a2m_classifier(
     return clf, clf_params, degraded
 
 
+def build_feature_and_classifier(
+    dataset_name: str, num_actions: int, num_frames: int, input_feats: int
+) -> Tuple[Callable, object, dict, bool]:
+    """(feature_input, clf, clf_params, degraded) with graceful degradation.
+
+    humanact12's GRU classifier consumes SMPL xyz; when the SMPL asset is
+    missing, fall back to classifying the raw rot6d features with a
+    random-init GRU so the protocol still runs end-to-end — stamped
+    degraded/non-comparable by every caller.
+    """
+    clf, clf_params, degraded = build_a2m_classifier(
+        dataset_name, num_actions, num_frames
+    )
+    try:
+        return make_a2m_feature_input(dataset_name), clf, clf_params, degraded
+    except FileNotFoundError as e:
+        import jax
+        import jax.numpy as jnp
+
+        from .classifiers import MotionDiscriminator
+
+        print(f"a2m eval: SMPL asset missing ({e}); degrading to "
+              "raw-feature classifier (non-comparable)")
+        clf = MotionDiscriminator(input_feats, 128, 2, num_actions)
+        clf_params = jax.jit(clf.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, num_frames, input_feats)),
+            jnp.array([num_frames]),
+        )
+        return (lambda feats: feats), clf, clf_params, True
+
+
 def make_a2m_feature_input(dataset_name: str) -> Callable:
     """feats_norm [B,T,150] -> classifier input (xyz flat or rot6d)."""
     import jax

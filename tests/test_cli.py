@@ -345,6 +345,61 @@ def test_train_unconstrained(tmp_path, synthetic_humanact12, monkeypatch):
     assert any(f.startswith("ckpt_") for f in os.listdir(save_dir))
 
 
+def test_eval_a2m_cli_smoke(tmp_path, synthetic_humanact12, monkeypatch):
+    """eval_a2m CLI end to end on synthetic HumanAct12 (random classifier ->
+    degraded stamp; reference eval_humanact12_uestc.py protocol shape)."""
+    from mdm_tpu.cli import eval_a2m as ev_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_a2m_ev")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanact12",
+        "--data_dir", synthetic_humanact12,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--num_frames", "60",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    summary = ev_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--dataset", "humanact12", "--data_dir", synthetic_humanact12,
+        "--eval_mode", "debug",
+    ])
+    for metric in ("accuracy_gen", "fid_gen", "fid_gt2", "diversity_gen"):
+        assert metric in summary, summary.keys()
+        assert np.isfinite(summary[metric]["mean"])
+    assert summary["comparable"] is False  # random-init classifier stamped
+    assert os.path.exists(os.path.join(save_dir, "eval_a2m_humanact12.json"))
+
+
+def test_eval_unconstrained_cli_smoke(tmp_path, synthetic_humanact12, monkeypatch):
+    """eval_unconstrained CLI end to end: KID/FID/precision-recall on
+    unconditioned HumanAct12 (degraded pseudo-joint path without SMPL)."""
+    from mdm_tpu.cli import eval_unconstrained as ev_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_unc_ev")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanact12", "--unconstrained",
+        "--data_dir", synthetic_humanact12,
+        "--batch_size", "4", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--num_frames", "60", "--cond_mask_prob", "0",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    summary = ev_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--dataset", "humanact12", "--data_dir", synthetic_humanact12,
+        "--eval_mode", "debug",
+    ])
+    for metric in ("fid", "kid", "precision", "recall", "diversity"):
+        assert metric in summary, summary.keys()
+    assert summary["comparable"] is False  # no SMPL / random STGCN
+    assert os.path.exists(os.path.join(save_dir, "eval_unconstrained.json"))
+
+
 def test_generate_dynamic_text_autoregressive(tmp_path, synthetic_humanml, monkeypatch):
     """--dynamic_text_path: one prompt per AR prediction window (reference
     generate.py:59-65,134-142); the text conditioning must switch per chunk."""

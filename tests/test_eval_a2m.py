@@ -67,3 +67,20 @@ def test_unconstrained_metrics():
     assert res["fid"] < far["fid"]
     assert res["precision"] > far["precision"]
     assert set(res) == {"fid", "kid", "kid_std", "precision", "recall", "diversity"}
+
+
+def test_unconstrained_openpose_graph_oracle(reference_path):
+    """Our 'openpose' adjacency must match the reference UNCONSTRAINED
+    eval's MODIFIED 15-node graph (stgcnutils/graph.py:44-61 — the classic
+    18-node table is commented out there; the modi_struct checkpoint's
+    edge-importance weights are shaped for 15 nodes)."""
+    import numpy as np
+
+    from eval.unconstrained.models.stgcnutils.graph import Graph as RefGraph
+
+    from mdm_tpu.eval.stgcn import build_graph_adjacency
+
+    ref = RefGraph(layout="openpose", strategy="spatial")
+    ours = build_graph_adjacency(layout="openpose", strategy="spatial")
+    assert ours.shape == ref.A.shape == (3, 15, 15)
+    np.testing.assert_allclose(np.asarray(ours), ref.A, atol=1e-7)
