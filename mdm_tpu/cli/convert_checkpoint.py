@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--out_dir", required=True)
     p.add_argument("--dataset", default="humanml")
     p.add_argument("--latent_dim", default=512, type=int)
+    p.add_argument("--ff_size", default=1024, type=int)
+    p.add_argument("--num_heads", default=4, type=int)
     p.add_argument("--layers", default=8, type=int)
     p.add_argument("--arch", default="trans_enc")
     p.add_argument("--text_encoder_type", default="clip")
@@ -50,7 +52,8 @@ def main(argv=None):
     if os.path.exists(ref_args_path):
         with open(ref_args_path) as f:
             saved = json.load(f)
-        for k in ["dataset", "latent_dim", "layers", "arch", "text_encoder_type",
+        for k in ["dataset", "latent_dim", "ff_size", "num_heads", "layers",
+                  "arch", "text_encoder_type",
                   "cond_mask_prob", "emb_trans_dec", "context_len", "pred_len"]:
             if k in saved:
                 setattr(args, k, saved[k])

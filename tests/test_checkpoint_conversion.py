@@ -6,6 +6,7 @@ embeddings, converts the state_dict, and requires the Flax model to produce
 the same output — the end-to-end guarantee behind published-checkpoint
 loading.
 """
+import os
 import sys
 import types
 
@@ -169,3 +170,48 @@ def test_load_torch_checkpoint_formats(tmp_path):
     torch.save({"model": dict(raw)}, tmp_path / "m.pt")
     m = load_torch_checkpoint(str(tmp_path / "m.pt"), use_ema=True)
     assert m["input_process.poseEmbedding.weight"][0, 0] == 1.0
+
+
+def test_convert_checkpoint_cli_then_generate(ref_mdm_cls, tmp_path):
+    """cli.convert_checkpoint: published-format .pt -> orbax run dir that
+    the generate CLI can sample from directly (the README conversion flow,
+    reference utils/model_util.py:118-132 load-tolerance surface)."""
+    import torch
+
+    from mdm_tpu.cli import convert_checkpoint as conv_cli
+    from mdm_tpu.cli import generate as gen_cli
+
+    torch.manual_seed(1)
+    d = 32
+    ref = ref_mdm_cls(
+        modeltype="", njoints=263, nfeats=1, num_actions=1, translation=True,
+        pose_rep="rot6d", glob=True, glob_rot=True, latent_dim=d, ff_size=64,
+        num_layers=2, num_heads=4, dropout=0.1, data_rep="hml_vec",
+        cond_mode="text", cond_mask_prob=0.1, arch="trans_enc",
+        emb_trans_dec=False, clip_version="ViT-B/32", dataset="humanml",
+        text_encoder_type="clip",
+    )
+    ref.eval()
+    sd = ref.state_dict()
+    pt_path = str(tmp_path / "model000000123.pt")
+    # EMA dict format (training_loop.py:419-423)
+    torch.save({"model": sd, "model_avg": sd}, pt_path)
+
+    out_dir = str(tmp_path / "converted")
+    conv_cli.main([
+        "--torch_ckpt", pt_path, "--out_dir", out_dir,
+        "--latent_dim", "32", "--layers", "2", "--ff_size", "64",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "args.json"))
+    ckpts = [f for f in os.listdir(out_dir) if f.startswith("ckpt_")]
+    assert ckpts and ckpts[0].endswith("123")
+
+    samples = str(tmp_path / "conv_samples")
+    gen_cli.main([
+        "--model_path", os.path.join(out_dir, ckpts[0]),
+        "--text_prompt", "a person walks", "--num_samples", "1",
+        "--num_repetitions", "1", "--motion_length", "1.0",
+        "--output_dir", samples, "--seed", "7", "--ff_size", "64",
+    ])
+    results = np.load(os.path.join(samples, "results.npy"), allow_pickle=True).item()
+    assert np.isfinite(results["motion"]).all()
