@@ -89,3 +89,29 @@ def test_motions2hik_from_thetas():
     assert thetas.shape == (2, 5, 24, 3)
     trans = np.asarray(out["root_translation"])
     assert trans.shape == (2, 5, 3)
+
+
+def test_render_mesh_cli(tmp_path, monkeypatch):
+    """render_mesh CLI: results.npy -> smpl_params.npy + per-frame .obj
+    (reference visualize/render_mesh.py + vis_utils.npy2obj), on the
+    synthetic small-mesh SMPL."""
+    import mdm_tpu.visualize.joints2smpl as j2s
+    from mdm_tpu.cli import render_mesh as rm_cli
+
+    model = synthetic_model()
+    monkeypatch.setattr(j2s.SMPLModel, "load", classmethod(lambda cls, *a, **k: model))
+
+    T, J = 3, 22
+    motion = RNG.normal(size=(1, T, J, 3)).astype(np.float32) * 0.2
+    npy_path = str(tmp_path / "results.npy")
+    np.save(npy_path, {"motion": motion, "text": ["x"], "lengths": np.array([T]),
+                       "num_samples": 1, "num_repetitions": 1})
+
+    out_dir = str(tmp_path / "objs")
+    rm_cli.main(["--input_path", npy_path, "--iterations", "8",
+                 "--out_dir", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "smpl_params.npy"))
+    objs = [f for f in os.listdir(out_dir) if f.endswith(".obj")]
+    assert len(objs) == T
+    first = open(os.path.join(out_dir, sorted(objs)[0])).read()
+    assert first.startswith("v ")  # vertices (synthetic model has no faces)
