@@ -29,6 +29,10 @@ class PredictorConfig:
     latent_dim: int = 512
     layers: int = 8
     compute_dtype: str = "bfloat16"
+    # sampler for serving: "ddpm" | "ddim" | "plms" | "dpmpp_2m" (the fast
+    # ODE solver cuts per-request latency ~5x at 20 respaced steps)
+    sampler: str = "ddpm"
+    cfg_cache_interval: int = 1
 
 
 class Predictor:
@@ -74,7 +78,10 @@ class Predictor:
         sched = Schedule.create("cosine", cfg.num_diffusion_steps, cfg.respacing)
         self.generator = MotionGenerator(
             self.model, params, sched,
-            GenerationConfig(guidance_scale=cfg.guidance_scale), cfg.dataset,
+            GenerationConfig(guidance_scale=cfg.guidance_scale,
+                             sampler=cfg.sampler,
+                             cfg_cache_interval=cfg.cfg_cache_interval),
+            cfg.dataset,
         )
         self.embedder = make_text_embedder(cfg.text_encoder_type)
         self._cond0 = cond0
