@@ -62,3 +62,26 @@ def test_uestc_loader_splits_and_samples(uestc_dir):
     s = ds.sample(0, RNG)
     assert s["motion"].shape == (30, 25 * 6)
     assert s["action_text"].startswith("act")
+
+
+def test_train_uestc_cli(uestc_dir, tmp_path, monkeypatch):
+    """UESTC training path through the CLI (40 actions, rot6d, view/camera
+    preprocessing) — end to end to a checkpoint + args.json."""
+    import json
+    import os
+
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_uestc")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "uestc",
+        "--data_dir", uestc_dir,
+        "--batch_size", "2", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--num_frames", "60",
+    ])
+    assert any(f.startswith("ckpt_") for f in os.listdir(save_dir))
+    with open(os.path.join(save_dir, "args.json")) as f:
+        saved = json.load(f)
+    assert saved["cond_mode"] == "action"
