@@ -97,7 +97,7 @@ class Predictor:
         num_repetitions: int = 1,
         motion_length_sec: float = 6.0,
         seed: Optional[int] = None,
-        output_format: str = "json",  # json | animation
+        output_format: str = "json",  # json | animation | hik
         output_dir: str = "/tmp/mdm_tpu_serve",
     ):
         import jax
@@ -125,6 +125,12 @@ class Predictor:
             joints = np.asarray(out["joints"])[:, :n_frames]
             results.append(joints)
 
+        if output_format == "hik":
+            # HumanIK-style JSON (Maya/MotionBuilder), the reference
+            # predictor's json_file output (sample/predict.py:143-145).
+            from .visualize.joints2smpl import motions2hik
+
+            return motions2hik(np.concatenate(results, axis=0))
         if output_format == "animation":
             from .visualize.plot_script import plot_3d_motion
 

@@ -38,3 +38,23 @@ def test_predictor_fast_sampler():
     joints = np.asarray(out["joints"][0])
     assert joints.shape == (1, 20, 22, 3)
     assert np.isfinite(joints).all()
+
+
+def test_predictor_hik_output(monkeypatch):
+    """output_format='hik' returns the HumanIK JSON dict (reference
+    predict.py:143-145 via motions2hik), on the synthetic SMPL."""
+    import mdm_tpu.visualize.joints2smpl as j2s
+    from test_visualize import synthetic_model
+
+    model = synthetic_model()
+    monkeypatch.setattr(j2s.SMPLModel, "load", classmethod(lambda cls, *a, **k: model))
+
+    cfg = PredictorConfig(
+        num_diffusion_steps=10, respacing="3", max_frames=16,
+        latent_dim=32, layers=2, compute_dtype="float32",
+    )
+    p = Predictor(cfg)
+    p.setup()
+    out = p.predict("a person waves", motion_length_sec=0.5, seed=2,
+                    output_format="hik")
+    assert "thetas" in out and "root_translation" in out and "joint_map" in out
