@@ -135,6 +135,7 @@ def main(argv=None):
         LoopConfig(
             save_dir=args.save_dir, num_steps=args.num_steps,
             log_interval=args.log_interval, save_interval=args.save_interval,
+            profile_trace_dir=args.profile_trace_dir,
             eval_during_training=args.eval_during_training,
             gen_during_training=args.gen_during_training,
             resume_checkpoint=args.resume_checkpoint,

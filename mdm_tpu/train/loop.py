@@ -37,6 +37,9 @@ class LoopConfig:
     # exist (reference training_loop.py:131: find_resume_checkpoint() or
     # self.resume_checkpoint)
     resume_checkpoint: str = ""
+    # non-empty: capture a jax.profiler trace of steps 2..6 (post-compile)
+    # into this directory — TensorBoard/Perfetto-viewable MXU/HBM timeline
+    profile_trace_dir: str = ""
 
 
 class TrainLoop:
@@ -98,38 +101,52 @@ class TrainLoop:
         # Host-side mirror of state.step: avoids a blocking device read per
         # iteration just to derive the step key / decide logging.
         step = self.step
-        while step < cfg.num_steps:
-            batch = next(self.data_iter)
-            batch = shard_batch(batch)
-            sub = jax.random.fold_in(self.base_key, step)
-            self.state, metrics = self.train_step(self.state, batch, sub)
+        tracing = False
+        try:
+            while step < cfg.num_steps:
+                if cfg.profile_trace_dir and step == 2 and not tracing:
+                    jax.profiler.start_trace(cfg.profile_trace_dir)
+                    tracing = True
+                batch = next(self.data_iter)
+                batch = shard_batch(batch)
+                sub = jax.random.fold_in(self.base_key, step)
+                self.state, metrics = self.train_step(self.state, batch, sub)
 
-            step += 1
-            for k, v in metrics.items():
-                self.logger.logkv_mean(k, float(np.asarray(v)))
+                step += 1
+                if tracing and step >= 7:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    print(f"profiler trace written to {cfg.profile_trace_dir}")
+                for k, v in metrics.items():
+                    self.logger.logkv_mean(k, float(np.asarray(v)))
 
-            if step % cfg.log_interval == 0:
-                self.logger.logkv("step", step)
-                self.logger.logkv(
-                    "steps_per_sec",
-                    cfg.log_interval / max(time.time() - t_last, 1e-9),
-                )
-                t_last = time.time()
-                for k, v in self.logger.dumpkvs().items():
-                    self.platform.report_scalar(k, v, step, group_name="Loss")
+                if step % cfg.log_interval == 0:
+                    self.logger.logkv("step", step)
+                    self.logger.logkv(
+                        "steps_per_sec",
+                        cfg.log_interval / max(time.time() - t_last, 1e-9),
+                    )
+                    t_last = time.time()
+                    for k, v in self.logger.dumpkvs().items():
+                        self.platform.report_scalar(k, v, step, group_name="Loss")
 
-            if step % cfg.save_interval == 0 or step == cfg.num_steps:
-                self.save()
-                if self.eval_fn and cfg.eval_during_training:
-                    for k, v in (self.eval_fn(self.state, step) or {}).items():
-                        self.platform.report_scalar(k, v, step, group_name="Eval")
-                if self.gen_fn and cfg.gen_during_training:
-                    media = self.gen_fn(self.state, step)
-                    for m in ([media] if isinstance(media, str) else media or []):
-                        self.platform.report_media("Motion", "gen", step, m)
-                if os.environ.get("MDM_TPU_TRAINING_TEST", ""):
-                    print("MDM_TPU_TRAINING_TEST set: stopping after first save")
-                    return
+                if step % cfg.save_interval == 0 or step == cfg.num_steps:
+                    self.save()
+                    if self.eval_fn and cfg.eval_during_training:
+                        for k, v in (self.eval_fn(self.state, step) or {}).items():
+                            self.platform.report_scalar(k, v, step, group_name="Eval")
+                    if self.gen_fn and cfg.gen_during_training:
+                        media = self.gen_fn(self.state, step)
+                        for m in ([media] if isinstance(media, str) else media or []):
+                            self.platform.report_media("Motion", "gen", step, m)
+                    if os.environ.get("MDM_TPU_TRAINING_TEST", ""):
+                        print("MDM_TPU_TRAINING_TEST set: stopping after first save")
+                        return
+        finally:
+            if tracing:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {cfg.profile_trace_dir}")
 
     def save(self):
         path = save_checkpoint(self.config.save_dir, self.step, self.state)

@@ -90,6 +90,9 @@ def add_training_options(parser):
     g.add_argument("--lr_anneal_steps", default=0, type=int)
     g.add_argument("--log_interval", default=1000, type=int)
     g.add_argument("--save_interval", default=50000, type=int)
+    g.add_argument("--profile_trace_dir", default="", type=str,
+                   help="capture a jax.profiler trace of steps 2-6 here "
+                        "(TensorBoard/Perfetto; TPU-native observability)")
     g.add_argument("--num_steps", default=600_000, type=int)
     g.add_argument("--num_frames", default=60, type=int)
     g.add_argument("--resume_checkpoint", default="", type=str)

@@ -250,3 +250,31 @@ class TestLossAwareTrainStep:
         assert np.isfinite(float(metrics["loss"]))
         # history has been populated
         assert int(np.asarray(sampler_state.counts).sum()) > 0
+
+
+class TestProfileTrace:
+    def test_trace_capture(self, tmp_path):
+        """--profile_trace_dir captures a jax.profiler trace of steps 2-6."""
+        make_mesh()
+        model, params = setup_model()
+        sched = Schedule.create("cosine", 10)
+        config = TrainStepConfig(optim=OptimConfig(lr=1e-3))
+        step = make_train_step(model.apply, sched, config)
+
+        rng = np.random.default_rng(3)
+
+        def data_gen():
+            while True:
+                yield make_batch(rng)
+
+        trace_dir = str(tmp_path / "trace")
+        cfg = LoopConfig(
+            save_dir=str(tmp_path / "run"), num_steps=8,
+            log_interval=100, save_interval=100,
+            profile_trace_dir=trace_dir,
+        )
+        TrainLoop(step, create_train_state(params, config.optim),
+                  data_gen(), cfg).run()
+        import glob
+        assert glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                         recursive=True), os.listdir(trace_dir)
