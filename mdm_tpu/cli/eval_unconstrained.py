@@ -75,7 +75,7 @@ def main(argv=None):
             feats.shape[0], feats.shape[1], 24, 3))
 
     # STGCN feature extractor (modified-structure checkpoint, frozen).
-    stg_cfg = STGCNConfig(in_channels=3, num_class=12, layout="openpose",
+    stg_cfg = STGCNConfig(in_channels=3, num_class=12, layout="openpose_modi15",
                           edge_importance=True)
     stgcn = STGCN(stg_cfg)
     clf_path = os.path.join("assets", "actionrecognition",

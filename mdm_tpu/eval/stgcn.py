@@ -26,13 +26,18 @@ SMPL_PARENTS = np.array(
 
 
 def _get_edges(layout: str) -> Tuple[int, List[Tuple[int, int]], int]:
+    # The reference carries TWO different 'openpose' graphs: the classic
+    # 18-node skeleton (eval/a2m/recognition/models/stgcnutils/graph.py) and
+    # a MODIFIED 15-node one its UNCONSTRAINED eval redefines in place
+    # (eval/unconstrained/models/stgcnutils/graph.py:44-61, the "modi_struct"
+    # checkpoints). We name them separately; both are oracle-pinned.
     if layout == "openpose":
-        # The reference's UNCONSTRAINED eval redefines 'openpose' as a
-        # MODIFIED 15-node skeleton (the "modi_struct" checkpoints;
-        # eval/unconstrained/models/stgcnutils/graph.py:44-61) — the classic
-        # 18-node table is commented out there. We reproduce the modified
-        # structure, which is what humanact12_gru_modi_struct.pth.tar's
-        # edge-importance weights are shaped for.
+        num_node = 18
+        neighbor = [(4, 3), (3, 2), (7, 6), (6, 5), (13, 12), (12, 11), (10, 9),
+                    (9, 8), (11, 5), (8, 2), (5, 1), (2, 1), (0, 1), (15, 0),
+                    (14, 0), (17, 15), (16, 14)]
+        center = 1
+    elif layout == "openpose_modi15":
         num_node = 15
         neighbor = [(4, 3), (3, 2), (2, 1),
                     (7, 6), (6, 5), (5, 1),

@@ -81,6 +81,6 @@ def test_unconstrained_openpose_graph_oracle(reference_path):
     from mdm_tpu.eval.stgcn import build_graph_adjacency
 
     ref = RefGraph(layout="openpose", strategy="spatial")
-    ours = build_graph_adjacency(layout="openpose", strategy="spatial")
+    ours = build_graph_adjacency(layout="openpose_modi15", strategy="spatial")
     assert ours.shape == ref.A.shape == (3, 15, 15)
     np.testing.assert_allclose(np.asarray(ours), ref.A, atol=1e-7)
