@@ -100,9 +100,23 @@ class ClipTextEncoder(nn.Module):
         return pooled @ proj
 
 
-def convert_openai_clip_text(sd: Mapping[str, np.ndarray], layers: int = 12) -> Dict:
-    """OpenAI `clip` checkpoint (text tower keys) -> flax params."""
+def _infer_layers(sd, prefix: str) -> int:
+    """Transformer depth from numbered state-dict keys (prefix.<i>. ...)."""
+    import re as _re
+
+    idx = {int(m.group(1)) for k in sd
+           if (m := _re.match(_re.escape(prefix) + r"(\d+)\.", k))}
+    if not idx:
+        raise KeyError(f"no layers found under {prefix!r}")
+    return max(idx) + 1
+
+
+def convert_openai_clip_text(sd: Mapping[str, np.ndarray], layers: int = 0) -> Dict:
+    """OpenAI `clip` checkpoint (text tower keys) -> flax params.
+
+    layers=0 infers the transformer depth from the state-dict keys."""
     sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    layers = layers or _infer_layers(sd, "transformer.resblocks.")
     t = lambda w: np.ascontiguousarray(w.T)
     params: Dict = {
         "token_embedding": sd["token_embedding.weight"],
@@ -131,9 +145,12 @@ def convert_openai_clip_text(sd: Mapping[str, np.ndarray], layers: int = 12) -> 
     return {"params": params}
 
 
-def convert_hf_clip_text(sd: Mapping[str, np.ndarray], layers: int = 12) -> Dict:
-    """HuggingFace CLIPTextModelWithProjection state_dict -> flax params."""
+def convert_hf_clip_text(sd: Mapping[str, np.ndarray], layers: int = 0) -> Dict:
+    """HuggingFace CLIPTextModelWithProjection state_dict -> flax params.
+
+    layers=0 infers the transformer depth from the state-dict keys."""
     sd = {k.removeprefix("text_model."): np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    layers = layers or _infer_layers(sd, "encoder.layers.")
     t = lambda w: np.ascontiguousarray(w.T)
     params: Dict = {
         "token_embedding": sd["embeddings.token_embedding.weight"],
@@ -218,9 +235,12 @@ class DistilBertEncoder(nn.Module):
         return x
 
 
-def convert_hf_distilbert(sd: Mapping[str, np.ndarray], layers: int = 6) -> Dict:
-    """HuggingFace DistilBertModel state_dict -> flax params."""
+def convert_hf_distilbert(sd: Mapping[str, np.ndarray], layers: int = 0) -> Dict:
+    """HuggingFace DistilBertModel state_dict -> flax params.
+
+    layers=0 infers the transformer depth from the state-dict keys."""
     sd = {k.removeprefix("distilbert."): np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    layers = layers or _infer_layers(sd, "transformer.layer.")
     t = lambda w: np.ascontiguousarray(w.T)
     lin = lambda p: {"kernel": t(sd[f"{p}.weight"]), "bias": sd[f"{p}.bias"]}
     ln = lambda p: {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}

@@ -1,4 +1,6 @@
 """Text-encoder parity vs randomly-initialized HuggingFace torch models."""
+import os
+
 import numpy as np
 import pytest
 
@@ -95,3 +97,50 @@ def test_distilbert_parity_small():
     np.testing.assert_allclose(
         np.asarray(ours)[valid], theirs[valid], atol=2e-4
     )
+
+
+def test_convert_text_encoders_cli(tmp_path):
+    """cli.convert_text_encoders: HF .bin directories -> orbax flax assets
+    (the prepare-time conversion flow for the frozen text towers)."""
+    import torch
+    from transformers import (
+        CLIPTextConfig as HFCfg,
+        CLIPTextModelWithProjection,
+        DistilBertConfig,
+        DistilBertModel,
+    )
+
+    from mdm_tpu.cli import convert_text_encoders as ct_cli
+
+    torch.manual_seed(0)
+    clip_dir = tmp_path / "clip_hf"
+    clip_dir.mkdir()
+    hf_clip = CLIPTextModelWithProjection(HFCfg(
+        vocab_size=1000, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=3, num_attention_heads=4,
+        max_position_embeddings=77, projection_dim=64,
+        hidden_act="quick_gelu", eos_token_id=999,
+    )).eval()
+    torch.save(hf_clip.state_dict(), clip_dir / "pytorch_model.bin")
+
+    bert_dir = tmp_path / "bert_hf"
+    bert_dir.mkdir()
+    hf_bert = DistilBertModel(DistilBertConfig(
+        vocab_size=1000, dim=64, hidden_dim=256, n_layers=2, n_heads=4,
+        max_position_embeddings=64,
+    )).eval()
+    torch.save(hf_bert.state_dict(), bert_dir / "pytorch_model.bin")
+
+    out_dir = str(tmp_path / "assets")
+    os.makedirs(out_dir)
+    ct_cli.main(["--clip", str(clip_dir), "--bert", str(bert_dir),
+                 "--out_dir", out_dir])
+    import orbax.checkpoint as ocp
+
+    clip_params = ocp.PyTreeCheckpointer().restore(
+        os.path.join(out_dir, "clip_text_flax"))
+    assert any("token_embedding" in k or "text_projection" in k
+               for k in str(jax.tree_util.tree_structure(clip_params)).split("'"))
+    bert_params = ocp.PyTreeCheckpointer().restore(
+        os.path.join(out_dir, "distilbert_flax"))
+    assert jax.tree_util.tree_leaves(bert_params)
