@@ -260,3 +260,51 @@ class TestFullGenerate:
         b = fn(jnp.zeros_like(eps))
         assert np.isfinite(np.asarray(a)).all()
         assert not np.allclose(np.asarray(a), np.asarray(b))  # noise matters
+
+
+class TestMultiLayerQuirk:
+    def test_prior_feeds_same_input_to_every_layer(self, ref_mods):
+        """modules.py:225-227: TextDecoder passes the SAME embedded input to
+        every GRUCell (no chaining), unlike TextVAEDecoder. Pin the quirk at
+        n_layers=2 (the published config uses 1, where both styles agree)."""
+        modules, _ = ref_mods
+        torch.manual_seed(3)
+        text_size = 2 * TEXT_HIDDEN
+        pri = modules.TextDecoder(text_size, DIM_ATT + MOV_LATENT, DIM_Z,
+                                  PRI_HIDDEN, 2).eval()
+        dec = modules.TextVAEDecoder(text_size, DIM_ATT + DIM_Z + MOV_LATENT,
+                                     MOV_LATENT, DEC_HIDDEN, 2).eval()
+        p_pri = G.convert_prior(pri.state_dict(), n_layers=2)
+        p_dec = G.convert_vae_decoder(dec.state_dict(), n_layers=2)
+
+        rng = np.random.default_rng(9)
+        B = 3
+        latent = rng.normal(size=(B, text_size)).astype(np.float32)
+        pri_in = rng.normal(size=(B, DIM_ATT + MOV_LATENT)).astype(np.float32)
+        dec_in = rng.normal(size=(B, DIM_ATT + DIM_Z + MOV_LATENT)).astype(np.float32)
+        tta = np.asarray([5, 3, 1], np.int64)
+
+        with torch.no_grad():
+            h_pri = pri.get_init_hidden(torch.from_numpy(latent))
+            modules.reparameterize, orig = (lambda mu, lv: mu), modules.reparameterize
+            try:
+                z, mu, lv, _ = pri(torch.from_numpy(pri_in), h_pri,
+                                   torch.from_numpy(tta))
+            finally:
+                modules.reparameterize = orig
+            h_dec = dec.get_init_hidden(torch.from_numpy(latent))
+            mov, _ = dec(torch.from_numpy(dec_in), None, h_dec,
+                         torch.from_numpy(tta))
+
+        pe_pri = jnp.asarray(G.positional_table(PRI_HIDDEN))
+        pe_dec = jnp.asarray(G.positional_table(DEC_HIDDEN))
+        hp = G.init_hidden(p_pri, jnp.asarray(latent), 2)
+        zj, muj, lvj, _ = G.prior_step(p_pri, pe_pri, jnp.asarray(pri_in), hp,
+                                       jnp.asarray(tta, jnp.int32),
+                                       jnp.zeros((B, DIM_Z)))
+        np.testing.assert_allclose(np.asarray(muj), mu.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lvj), lv.numpy(), atol=2e-5)
+        hd = G.init_hidden(p_dec, jnp.asarray(latent), 2)
+        movj, _ = G.vae_decoder_step(p_dec, pe_dec, jnp.asarray(dec_in), hd,
+                                     jnp.asarray(tta, jnp.int32))
+        np.testing.assert_allclose(np.asarray(movj), mov.numpy(), atol=2e-5)
