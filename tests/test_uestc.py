@@ -85,3 +85,36 @@ def test_train_uestc_cli(uestc_dir, tmp_path, monkeypatch):
     with open(os.path.join(save_dir, "args.json")) as f:
         saved = json.load(f)
     assert saved["cond_mode"] == "action"
+
+
+def test_eval_a2m_cli_uestc(uestc_dir, tmp_path, monkeypatch):
+    """eval_a2m CLI on UESTC: rot6d features through the STGCN(smpl layout)
+    classifier protocol (reference stgcn_eval.py), degraded-stamped without
+    the classifier asset."""
+    import json
+    import os
+
+    import numpy as np
+
+    from mdm_tpu.cli import eval_a2m as ev_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_uestc_ev")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "uestc",
+        "--data_dir", uestc_dir,
+        "--batch_size", "2", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--num_frames", "60",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    summary = ev_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--dataset", "uestc", "--data_dir", uestc_dir,
+        "--eval_mode", "debug",
+    ])
+    for metric in ("accuracy_gen", "fid_gen"):
+        assert metric in summary
+        assert np.isfinite(summary[metric]["mean"])
+    assert summary["comparable"] is False
