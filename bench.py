@@ -93,14 +93,20 @@ def scaling_main():
         None,
     )
     key = jax.random.PRNGKey(1)
-    state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # Slope method (CLAUDE.md): steps chain through the donated state; each
+    # segment ends in a forced host pull so tunnel async-dispatch can't lie.
+    box = {"s": state, "i": 0}
+
+    def run_steps(k):
+        for _ in range(k):
+            box["s"], _m = step(box["s"], batch, jax.random.fold_in(key, box["i"]))
+            box["i"] += 1
+        _ = float(np.asarray(box["s"].step))
+
+    run_steps(3)
+    t0 = time.perf_counter(); run_steps(5); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run_steps(20); t2 = time.perf_counter() - t0
+    dt = (t2 - t1) / 15
     print(json.dumps({
         "metric": "dp_train_samples_per_s_per_chip",
         "value": round(B / dt / n, 1),
@@ -120,13 +126,27 @@ def scaling_main():
         GenerationConfig(guidance_scale=2.5), "humanml", mesh=get_mesh(),
     )
     key = jax.random.PRNGKey(2)
-    feats = gen.sample_features(cond, B, T, key)
-    jax.block_until_ready(feats)
-    t0 = time.perf_counter()
-    for i in range(5):
-        feats = gen.sample_features(cond, B, T, jax.random.fold_in(key, i))
-    jax.block_until_ready(feats)
-    dt = (time.perf_counter() - t0) / 5
+    # Chain iterations through a 0-weight data dependency on the previous
+    # output so the slope method sees a strict execution chain.
+    fb = {"feats": None, "i": 0}
+
+    def run_samples(k):
+        c = cond
+        for _ in range(k):
+            if fb["feats"] is not None:
+                c = cond.replace(
+                    text_embed=cond.text_embed + 0.0 * fb["feats"][:, 0, :1]
+                )
+            fb["feats"] = gen.sample_features(
+                c, B, T, jax.random.fold_in(key, fb["i"])
+            )
+            fb["i"] += 1
+        _ = float(np.asarray(fb["feats"][0, 0, 0]))
+
+    run_samples(2)
+    t0 = time.perf_counter(); run_samples(2); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run_samples(7); t2 = time.perf_counter() - t0
+    dt = (t2 - t1) / 5
     print(json.dumps({
         "metric": "dp_sampling_samples_per_s_per_chip",
         "value": round(B / dt / n, 1),
@@ -213,20 +233,29 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
-    def run(k):
-        out = gen.generate(cond, B, T, k)
-        jax.block_until_ready(out["joints"])
-        return out
+    # Slope method (CLAUDE.md): iterations chained through a 0-weight data
+    # dependency on the previous joints, each segment ended by a host pull —
+    # block_until_ready through the axon tunnel can return early and the
+    # first timed loop absorbs warmup; the two-length slope cancels both.
+    fb = {"joints": None, "i": 0}
 
-    run(key)  # compile
-    n_iters = 5
-    start = time.perf_counter()
-    for i in range(n_iters):
-        key, sub = jax.random.split(key)
-        run(sub)
-    elapsed = time.perf_counter() - start
+    def run_samples(k):
+        c = cond
+        for _ in range(k):
+            if fb["joints"] is not None:
+                c = cond.replace(
+                    text_embed=cond.text_embed + 0.0 * fb["joints"][:, 0, 0, :1]
+                )
+            out = gen.generate(c, B, T, jax.random.fold_in(key, fb["i"]))
+            fb["joints"] = out["joints"]
+            fb["i"] += 1
+        _ = float(np.asarray(fb["joints"][0, 0, 0, 0]))
 
-    sec_per_sample = elapsed / (n_iters * B)
+    run_samples(2)  # compile + first-dispatch warmup
+    t0 = time.perf_counter(); run_samples(3); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run_samples(13); t2 = time.perf_counter() - t0
+
+    sec_per_sample = (t2 - t1) / (10 * B)
     print(
         json.dumps(
             {

@@ -580,17 +580,25 @@ class T2MBaselineMMLoader(T2MBaselineLoader):
     def __iter__(self):
         rng = np.random.default_rng(self.seed + 7919)
         key = jax.random.PRNGKey(self.seed + 7919)
-        count = 0
-        for batch in self.gt_batches:
-            if count >= self.mm_num_samples:
-                return
-            idx = int(rng.integers(len(batch["lengths"])))
+        # MM prompts are drawn uniformly WITHOUT replacement over the whole
+        # eval stream (reference comp_v6_model_dataset.py:64-65 mm_idxs =
+        # np.random.choice over the full dataset), not one per head batch —
+        # head-biased sampling would skew the MultiModality statistic.
+        batches = list(self.gt_batches)
+        sizes = [len(b["lengths"]) for b in batches]
+        total = int(np.sum(sizes))
+        n_mm = min(self.mm_num_samples, total)
+        flat = np.sort(rng.choice(total, size=n_mm, replace=False))
+        starts = np.cumsum([0] + sizes[:-1])
+        for f in flat:
+            b_i = int(np.searchsorted(starts, f, side="right")) - 1
+            idx = int(f - starts[b_i])
+            batch = batches[b_i]
             one = {
                 k: batch[k][idx: idx + 1]
                 for k in ("word_embeddings", "pos_one_hots", "sent_lens")
             }
             outs, key = self.generator.gen_batch(one, rng, key, self.mm_num_repeats)
-            count += 1
             yield {
                 "x": np.concatenate([x for x, _ in outs], axis=0),
                 "lengths": np.concatenate([l for _, l in outs], axis=0),

@@ -278,12 +278,18 @@ class MotionGenerator:
             for i in range(n_iters)
         ]
         keys = jax.random.split(key, n_iters)
+        # Only the stacking step decides fast path vs host loop: a genuine
+        # shape/sharding/tracing bug inside _shard/_ar_scan_jit must
+        # propagate, not silently fall back to the slow loop.
         try:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_chunk)
+        except (TypeError, ValueError):
+            stacked = None
+        if stacked is not None:
             init_prefix = self._shard(init_prefix)
             stacked = self._shard(stacked, axis=1)  # [n_iters, B, ...]
             gen = self._ar_scan_jit(self.params, init_prefix, stacked, keys)
-        except (TypeError, ValueError):
+        else:
             # Structurally inhomogeneous per-chunk conditioning: host loop,
             # still device-resident arrays (no np round-trips).
             prefix, buf = init_prefix, []

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import shard_batch
@@ -68,6 +69,12 @@ class TrainLoop:
         # exact keys the uninterrupted run would have (the reference restores
         # only weights and lets torch's global RNG drift, training_loop.py:385).
         self.base_key = jax.random.PRNGKey(rng_seed)
+        # Device-side metric accumulator: summing on device keeps the loop
+        # fully async — pulling each metric to host every step (the reference
+        # logs `.item()` per step, training_loop.py:359,469-475) forces a
+        # device sync that serializes host batch build against the step and
+        # caps loop throughput well below the bare-step rate.
+        self._metric_add = jax.jit(lambda acc, m: jax.tree.map(jnp.add, acc, m))
 
         os.makedirs(config.save_dir, exist_ok=True)
         if args is not None:
@@ -102,6 +109,10 @@ class TrainLoop:
         # iteration just to derive the step key / decide logging.
         step = self.step
         tracing = False
+        # Accumulated (unpulled) metric sums + batch size of the window.
+        acc = None
+        acc_n = 0
+        batch_size = None
         try:
             while step < cfg.num_steps:
                 if cfg.profile_trace_dir and step == 2 and not tracing:
@@ -109,8 +120,18 @@ class TrainLoop:
                     tracing = True
                 batch = next(self.data_iter)
                 batch = shard_batch(batch)
+                if batch_size is None:
+                    batch_size = (
+                        int(batch["x"].shape[0])
+                        if isinstance(batch, dict) and "x" in batch
+                        else 0
+                    )
                 sub = jax.random.fold_in(self.base_key, step)
                 self.state, metrics = self.train_step(self.state, batch, sub)
+                # No host pull here: keep the arrays on device and fold them
+                # into the running sums with a tiny jitted add.
+                acc = metrics if acc is None else self._metric_add(acc, metrics)
+                acc_n += 1
 
                 step += 1
                 if tracing and step >= 7:
@@ -118,15 +139,21 @@ class TrainLoop:
                     jax.profiler.stop_trace()
                     tracing = False
                     print(f"profiler trace written to {cfg.profile_trace_dir}")
-                for k, v in metrics.items():
-                    self.logger.logkv_mean(k, float(np.asarray(v)))
 
                 if step % cfg.log_interval == 0:
+                    # ONE device sync per log window. device_get on the whole
+                    # pytree also waits for every step in the window, so the
+                    # steps_per_sec below is an honest end-to-end number.
+                    host = jax.device_get(acc)
+                    for k, v in host.items():
+                        self.logger.logkv(k, float(v) / acc_n)
+                    acc = None
+                    acc_n = 0
                     self.logger.logkv("step", step)
-                    self.logger.logkv(
-                        "steps_per_sec",
-                        cfg.log_interval / max(time.time() - t_last, 1e-9),
-                    )
+                    sps = cfg.log_interval / max(time.time() - t_last, 1e-9)
+                    self.logger.logkv("steps_per_sec", sps)
+                    if batch_size:
+                        self.logger.logkv("samples_per_sec", sps * batch_size)
                     t_last = time.time()
                     for k, v in self.logger.dumpkvs().items():
                         self.platform.report_scalar(k, v, step, group_name="Loss")

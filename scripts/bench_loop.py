@@ -1,0 +1,160 @@
+"""END-TO-END TrainLoop throughput on the real TPU (slope method).
+
+The round-2 verdict's top item: the 2530 samples/s figure was a bare-step
+number (scripts/bench_train.py, device-resident batch, no loop); the real
+`TrainLoop.run` used to pull every metric to host every step, forcing a
+device sync that killed async dispatch. This bench measures throughput
+*through TrainLoop.run itself* — data iterator + shard_batch + jitted step
++ device-side metric accumulation + KV logging — and compares it to the
+bare step.
+
+Methodology (CLAUDE.md "axon tunnel benchmarking"): steps chain through the
+donated TrainState, so pulling `state.step` at a segment end waits for every
+enqueued step; we time two segment lengths (30 / 130 steps after a 5-step
+warmup segment) and take the slope (t2-t1)/100. log_interval=25 so both
+segments contain proportional logging work.
+
+Batches are DEVICE-RESIDENT (a small ring of pre-sharded batches): the dev
+tunnel's ~20 MB/s H2D would otherwise measure the tunnel, not the framework
+(CLAUDE.md). `--host_work` additionally simulates the real host collate cost
+(~13 ms of numpy per batch at B=128, docs/BENCHMARKS.md) inside the
+iterator WITHOUT a transfer, demonstrating that host batch build overlaps
+device compute once the per-step sync is gone.
+
+Usage: python scripts/bench_loop.py [--batch 128] [--host_work]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdm_tpu.diffusion import LossConfig, Schedule
+from mdm_tpu.models import MDM, Conditioning, MDMConfig
+from mdm_tpu.train import (
+    LoopConfig,
+    OptimConfig,
+    TrainLoop,
+    TrainStepConfig,
+    create_train_state,
+    make_train_step,
+)
+
+
+class DeviceBatchRing:
+    """Iterator over a small ring of device-resident batches.
+
+    Optionally burns `host_work_bytes` of real numpy work per __next__ to
+    stand in for the host collate pipeline (no H2D: the dev tunnel would
+    measure the tunnel, not the loop).
+    """
+
+    def __init__(self, batches, host_work: bool):
+        self.batches = batches
+        self.host_work = host_work
+        self._i = 0
+        if host_work:
+            B, T, D = batches[0]["x"].shape
+            self._scratch = np.random.default_rng(0).normal(
+                size=(B, T, D)
+            ).astype(np.float32)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self.host_work:
+            # ~the collate cost: copy + normalize-shaped elementwise pass.
+            np.multiply(self._scratch, np.float32(1.0000001), out=self._scratch)
+        b = self.batches[self._i % len(self.batches)]
+        self._i += 1
+        return b
+
+
+def run_segment(loop, extra_steps: int) -> float:
+    """Run `extra_steps` more loop steps, return wall time incl. final sync."""
+    loop.config.num_steps = int(np.asarray(loop.state.step)) + extra_steps
+    t0 = time.perf_counter()
+    loop.run()
+    # Final host pull chains through every donated state -> honest end time.
+    _ = float(np.asarray(loop.state.step))
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--host_work", action="store_true")
+    ap.add_argument("--n1", type=int, default=30)
+    ap.add_argument("--n2", type=int, default=130)
+    args = ap.parse_args()
+
+    B, T = args.batch, 196
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=512, ff_size=1024,
+                    num_layers=8, num_heads=4, compute_dtype="bfloat16")
+    model = MDM(cfg)
+    cond = Conditioning(
+        frames_mask=jnp.ones((B, T), bool),
+        text_embed=jnp.zeros((B, 512), jnp.float32),
+    )
+    x0 = jnp.zeros((B, T, 263), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32), cond
+    )["params"]
+    sched = Schedule.create("cosine", 1000)
+    step_cfg = TrainStepConfig(loss=LossConfig(), optim=OptimConfig(lr=1e-4))
+    state = create_train_state(params, step_cfg.optim)
+    step = make_train_step(model.apply, sched, step_cfg)
+
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "x": jnp.asarray(rng.normal(size=(B, T, 263)).astype(np.float32)),
+            "mask": jnp.ones((B, T), bool),
+            "cond": cond,
+        }
+        for _ in range(4)
+    ]
+    data = DeviceBatchRing(batches, args.host_work)
+
+    save_dir = tempfile.mkdtemp(prefix="bench_loop_")
+    loop = TrainLoop(
+        step,
+        state,
+        data,
+        LoopConfig(save_dir=save_dir, num_steps=0, log_interval=25,
+                   save_interval=10**9, resume=False),
+    )
+    # TrainLoop saves when step == num_steps (the reference's end-of-run
+    # save); here that fires at every segment boundary and a full-state pull
+    # through the ~20 MB/s dev tunnel (~15 s of noise) would swamp the slope.
+    # Steady-state loop throughput is what's being measured — stub it out.
+    loop.save = lambda: None
+    # Segment 0: warmup (compile + first dispatches).
+    run_segment(loop, 5)
+    t1 = run_segment(loop, args.n1)
+    t2 = run_segment(loop, args.n2)
+    sec_per_step = (t2 - t1) / (args.n2 - args.n1)
+    print(json.dumps({
+        "metric": "trainloop_e2e_samples_per_s",
+        "value": round(B / sec_per_step, 1),
+        "unit": f"samples/s (B={B}, bf16, through TrainLoop.run, "
+                f"host_work={args.host_work}, "
+                f"platform={jax.devices()[0].platform})",
+        "ms_per_step": round(sec_per_step * 1e3, 2),
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

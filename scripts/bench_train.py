@@ -38,7 +38,23 @@ def flagship(compute_dtype: str):
     return MDM(cfg)
 
 
-def bench_one(B: int, compute_dtype: str, geometric: bool, iters: int = 20):
+def slope_time(run_n, n1: int = 10, n2: int = 40) -> float:
+    """Per-iteration time via the slope method (CLAUDE.md): two chained
+    segment lengths, each ending in a forced host pull, (t2-t1)/(n2-n1).
+    Through the axon tunnel block_until_ready can return before remote
+    execution finishes and the first timed loop absorbs warmup; the slope
+    cancels both."""
+    run_n(3)  # warmup segment (absorbs compile + first-dispatch overheads)
+    t0 = time.perf_counter()
+    run_n(n1)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_n(n2)
+    t2 = time.perf_counter() - t0
+    return (t2 - t1) / (n2 - n1)
+
+
+def bench_one(B: int, compute_dtype: str, geometric: bool):
     T = 196
     model = flagship(compute_dtype)
     x = jnp.zeros((B, T, 263), jnp.float32)
@@ -74,14 +90,19 @@ def bench_one(B: int, compute_dtype: str, geometric: bool, iters: int = 20):
     }
     key = jax.random.PRNGKey(1)
 
-    # warmup (compile)
-    state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # Steps chain through the donated state; pulling state.step waits for
+    # every enqueued step, making each segment's wall time honest.
+    box = {"state": state, "i": 0}
+
+    def run_n(n):
+        for _ in range(n):
+            box["state"], _m = step(
+                box["state"], batch, jax.random.fold_in(key, box["i"])
+            )
+            box["i"] += 1
+        _ = float(np.asarray(box["state"].step))
+
+    dt = slope_time(run_n)
 
     n_params = count_params(params)
     # fwd 2ND + bwd 4ND model FLOPs (attention FLOPs add ~5% at T=196, d=512)
