@@ -166,8 +166,13 @@ def make_eval_during_training(args, model, text_embedder):
         print(f"eval_during_training: evaluator checkpoint {ckpt} missing; skipping")
         return None
 
+    # Cache across checkpoints: the GT batches are deterministic and the
+    # MotionGenerator takes params as traced jit args, so both are built on
+    # the first eval and reused — rebuilding per call would recompile the
+    # full sampler at every save_interval.
+    cache = {}
+
     def eval_fn(state, step):
-        import jax
         import numpy as np
 
         from ..data import BatchIterator, WordVectorizer, get_dataset
@@ -175,28 +180,34 @@ def make_eval_during_training(args, model, text_embedder):
         from ..eval import EvalConfig, EvaluatorWrapper, GeneratedMotionLoader, evaluation
         from ..sampling import GenerationConfig, MotionGenerator
 
-        glove_dir = "glove"
-        w_vec = None
-        if os.path.exists(os.path.join(glove_dir, "our_vab_data.npy")):
-            w_vec = WordVectorizer(glove_dir, "our_vab")
-        dataset = get_dataset(
-            args.dataset, split=args.eval_split, hml_mode="eval",
-            data_root=args.data_dir or None,
-        )
-        dataset.w_vectorizer = w_vec
-        gt_batches = []
-        it = BatchIterator(dataset, args.eval_batch_size, seed=0, infinite=False)
-        for i, b in enumerate(it):
-            if (i + 1) * args.eval_batch_size > args.eval_num_samples:
-                break
-            gt_batches.append(b)
-
-        sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
-        params = {"params": state.ema_params if state.ema_params is not None else state.params}
-        gen = MotionGenerator(
-            model, params, sched,
-            GenerationConfig(guidance_scale=args.gen_guidance_param), args.dataset,
-        )
+        if not cache:
+            glove_dir = "glove"
+            w_vec = None
+            if os.path.exists(os.path.join(glove_dir, "our_vab_data.npy")):
+                w_vec = WordVectorizer(glove_dir, "our_vab")
+            dataset = get_dataset(
+                args.dataset, split=args.eval_split, hml_mode="eval",
+                data_root=args.data_dir or None,
+            )
+            dataset.w_vectorizer = w_vec
+            gt_batches = []
+            it = BatchIterator(dataset, args.eval_batch_size, seed=0, infinite=False)
+            for i, b in enumerate(it):
+                if (i + 1) * args.eval_batch_size > args.eval_num_samples:
+                    break
+                gt_batches.append(b)
+            sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
+            cache["gt_batches"] = gt_batches
+            cache["gen"] = MotionGenerator(
+                model, None, sched,
+                GenerationConfig(guidance_scale=args.gen_guidance_param),
+                args.dataset,
+            )
+        gt_batches = cache["gt_batches"]
+        gen = cache["gen"]
+        gen.params = {
+            "params": state.ema_params if state.ema_params is not None else state.params
+        }
 
         def embed(texts):
             if text_embedder is None:
@@ -246,20 +257,26 @@ def make_a2m_eval_during_training(args, model, dataset, num_frames):
     )
     max_batches = max(1, args.eval_num_samples // max(1, args.eval_batch_size))
 
+    # Built ONCE: MotionGenerator passes params as traced jit args, so one
+    # compilation serves every checkpoint — rebuilding it per eval_fn call
+    # would recompile the full sampler at every save_interval.
+    sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
+    gen = MotionGenerator(
+        model, None, sched,
+        # reference in-training a2m eval uses guidance 1 (training_loop.py:277)
+        GenerationConfig(guidance_scale=1.0), args.dataset,
+    )
+    ev = A2MEvaluation(
+        clf, clf_params, config=A2MEvalConfig(num_classes=num_actions)
+    )
+
     def eval_fn(state, step):
-        sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
-        params = {"params": state.ema_params if state.ema_params is not None else state.params}
-        gen = MotionGenerator(
-            model, params, sched,
-            # reference in-training a2m eval uses guidance 1 (training_loop.py:277)
-            GenerationConfig(guidance_scale=1.0), args.dataset,
-        )
+        gen.params = {
+            "params": state.ema_params if state.ema_params is not None else state.params
+        }
         make_loaders = make_a2m_loaders_factory(
             dataset, gen, args.eval_batch_size, num_frames, feature_input,
             max_batches=max_batches,
-        )
-        ev = A2MEvaluation(
-            clf, clf_params, config=A2MEvalConfig(num_classes=num_actions)
         )
         summary = evaluate_multi_seed(make_loaders, ev, num_seeds=args.eval_rep_times)
         flat = {k: float(v["mean"]) for k, v in summary.items()}
@@ -279,17 +296,21 @@ def make_gen_during_training(args, model, data, text_embedder):
     from ..models.mdm import Conditioning
     from ..sampling import GenerationConfig, MotionGenerator
 
+    # Built once; params swap per checkpoint (traced jit args, no recompile).
+    sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
+    gen = MotionGenerator(
+        model, None, sched,
+        GenerationConfig(guidance_scale=args.gen_guidance_param), args.dataset,
+    )
+
     def gen_fn(state, step):
         import os
 
         B = args.gen_num_samples
         T = 196 if args.dataset in ("humanml", "kit") else args.num_frames
-        sched = Schedule.create(args.noise_schedule, args.diffusion_steps)
-        params = {"params": state.ema_params if state.ema_params is not None else state.params}
-        gen = MotionGenerator(
-            model, params, sched,
-            GenerationConfig(guidance_scale=args.gen_guidance_param), args.dataset,
-        )
+        gen.params = {
+            "params": state.ema_params if state.ema_params is not None else state.params
+        }
         batch = next(iter(data))
         texts = batch.get("text", ["sample"] * B)[:B]
         cond_kw = {"frames_mask": jnp.ones((B, T), bool)}
