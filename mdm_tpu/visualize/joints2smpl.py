@@ -29,9 +29,68 @@ HML_TO_SMPL = list(range(22))
 class FitConfig:
     iterations: int = 150
     lr: float = 0.02
-    pose_reg: float = 1e-3  # pull toward rest pose (stand-in for GMM prior)
+    pose_reg: float = 1e-3  # pull toward rest pose (L2 fallback when no GMM)
     shape_reg: float = 1e-2
     joints_category: str = "AMASS"
+    # GMM pose prior (reference smplify.py:67-69 + customloss.py:128-188).
+    # 'auto': use it when the gmm_08.pkl asset is found, else the L2
+    # fallback; True: require it; False: never.
+    use_gmm_prior: str | bool = "auto"
+    # reference body_fitting_loss_3d weights (customloss.py:132-135 and the
+    # smplify.py:229-233 call: joint 600, pose-preserve 5)
+    joint_loss_weight: float = 600.0
+    pose_prior_weight: float = 4.78 * 1.5
+    shape_prior_weight: float = 5.0
+    angle_prior_weight: float = 15.2
+    gmof_sigma: float = 100.0
+    smooth_weight: float = 0.1  # temporal smoothness (ours; reference fits frame-wise)
+    # cosine-decay the Adam lr to 2% over the run: the staged-LBFGS
+    # reference fine-converges via line search; this is our equivalent knob
+    lr_decay: bool = True
+    # Reference parity: SMPLify3D batches frames with an independent betas
+    # vector per frame (smplify.py:141-143). Default keeps ONE body shape
+    # per sequence (physically right for a single subject's motion).
+    per_frame_betas: bool = False
+
+
+def _resolve_prior(config: FitConfig):
+    from .prior import MaxMixturePrior, find_gmm_asset
+
+    if config.use_gmm_prior is False:
+        return None
+    path = find_gmm_asset()
+    if path is None:
+        if config.use_gmm_prior is True:
+            raise FileNotFoundError(
+                "use_gmm_prior=True but gmm_08.pkl was not found "
+                "(set $MDM_TPU_GMM_PRIOR)"
+            )
+        return None
+    return MaxMixturePrior.load(path)
+
+
+def _safe_matrix_to_axis_angle(m):
+    """matrix -> axis-angle with finite gradients at the identity.
+
+    The quaternion route (matrix_to_quaternion) takes sqrt(0) at the
+    identity — infinite gradient exactly at the fit's init. The log map via
+    the skew part s (|s| = sin θ) and arctan2(|s|, cosθ) is smooth there:
+    θ/|s| -> 1 as θ -> 0. (Not valid near θ=π, which the fit never reaches
+    for per-joint body rotations.)"""
+    import jax.numpy as jnp
+
+    s = 0.5 * jnp.stack(
+        [
+            m[..., 2, 1] - m[..., 1, 2],
+            m[..., 0, 2] - m[..., 2, 0],
+            m[..., 1, 0] - m[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    c = 0.5 * (m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2] - 1.0)
+    n = jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True) + 1e-12)
+    theta = jnp.arctan2(n, c[..., None])
+    return s * (theta / n)
 
 
 def fit_smpl(
@@ -47,11 +106,13 @@ def fit_smpl(
     T, J, _ = target_joints.shape
     joint_ids = jnp.asarray(HML_TO_SMPL[:J])
     target = jnp.asarray(target_joints, jnp.float32)
+    prior = _resolve_prior(config)
 
     ident6 = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 1.0, 0]), (T, 24, 1))
+    betas_shape = (T, model.num_betas) if config.per_frame_betas else (model.num_betas,)
     params = {
         "pose6d": jnp.asarray(init_thetas, jnp.float32) if init_thetas is not None else ident6,
-        "betas": jnp.zeros((model.num_betas,)),
+        "betas": jnp.zeros(betas_shape),
         "transl": jnp.asarray(target_joints[:, 0], jnp.float32),
     }
 
@@ -64,18 +125,45 @@ def fit_smpl(
     def loss_fn(p):
         out = forward(p)
         pred = out["joints"][:, joint_ids]
+        smooth = jnp.mean((p["pose6d"][1:] - p["pose6d"][:-1]) ** 2) if T > 1 else 0.0
+        if prior is not None:
+            # Reference body_fitting_loss_3d (customloss.py:128-188), per
+            # frame then summed: GMoF joint term + GMM pose NLL + knee/elbow
+            # angle prior + beta shape prior. The 6d->axis-angle conversion
+            # feeds the prior the same 69-d body pose the reference
+            # optimizes directly.
+            from .prior import angle_prior, gmof
+
+            body_aa = _safe_matrix_to_axis_angle(
+                R.rotation_6d_to_matrix(p["pose6d"][:, 1:])
+            ).reshape(T, 69)
+            joint_loss = (config.joint_loss_weight ** 2) * jnp.sum(
+                gmof(pred - target, config.gmof_sigma), axis=(-2, -1)
+            )
+            pose_prior_loss = (config.pose_prior_weight ** 2) * prior(body_aa)
+            angle_loss = (config.angle_prior_weight ** 2) * jnp.sum(
+                angle_prior(body_aa), axis=-1
+            )
+            shape_loss = (config.shape_prior_weight ** 2) * jnp.sum(p["betas"] ** 2)
+            total = jnp.sum(joint_loss + pose_prior_loss + angle_loss) + shape_loss
+            # normalize by the joint weight so Adam sees O(1) magnitudes and
+            # the smoothness term keeps its scale vs the fallback branch
+            return total / (config.joint_loss_weight ** 2 * T) + config.smooth_weight * smooth
         joint_loss = jnp.mean((pred - target) ** 2)
         pose_prior = jnp.mean((p["pose6d"][:, 1:] - ident6[:, 1:]) ** 2)
-        # temporal smoothness on pose
-        smooth = jnp.mean((p["pose6d"][1:] - p["pose6d"][:-1]) ** 2) if T > 1 else 0.0
         return (
             joint_loss
             + config.pose_reg * pose_prior
             + config.shape_reg * jnp.sum(p["betas"] ** 2)
-            + 0.1 * smooth
+            + config.smooth_weight * smooth
         )
 
-    tx = optax.adam(config.lr)
+    if config.lr_decay:
+        tx = optax.adam(
+            optax.cosine_decay_schedule(config.lr, config.iterations, alpha=0.02)
+        )
+    else:
+        tx = optax.adam(config.lr)
 
     @jax.jit
     def fit(p):
