@@ -104,17 +104,24 @@ def p_sample_loop(
     inpainted_motion: Optional[jnp.ndarray] = None,
     dump_steps: Optional[Sequence[int]] = None,
     model_state=None,
+    step_noise: Optional[jnp.ndarray] = None,
 ):
     """Ancestral sampling. Returns final x, or stacked dumps if requested.
 
     `dump_steps` indexes into the step sequence (0 = first/most-noised).
     `model_state`: optional carry for stateful model_fns (e.g. cached-CFG);
     signature becomes model_fn(x, t, state) -> (out, state).
+    `step_noise`: optional [num_steps, *x.shape] per-step transition noise
+    replacing the PRNG draws — the determinism hook that lets end-to-end
+    tests feed the reference loop and this scan identical noise (the
+    reference's equivalent seams are fixseed + const_noise,
+    gaussian_diffusion.py:526-528).
     """
     B = noise.shape[0]
     x, indices = _init_state(sched, noise, init_image, config.skip_timesteps)
 
-    def step(carry, i):
+    def step(carry, xs):
+        i, ns = xs
         x, key, mstate = carry
         key, nk = jax.random.split(key)
         t = jnp.full((B,), i, dtype=jnp.int32)
@@ -126,12 +133,14 @@ def p_sample_loop(
         mean = out.mean
         if cond_fn is not None and config.guidance_mode == "mean":
             mean = G.condition_mean(cond_fn(x, sched.model_timesteps(t)), out)
-        noise_step = _step_noise(nk, x, config.const_noise)
+        noise_step = ns if ns is not None else _step_noise(nk, x, config.const_noise)
         nonzero = (i != 0).astype(x.dtype)
         x_next = mean + nonzero * jnp.exp(0.5 * out.log_variance) * noise_step
         return (x_next, key, mstate), (x_next if dump_steps is not None else None)
 
-    (x_final, _, _), dumps = jax.lax.scan(step, (x, key, model_state), indices)
+    (x_final, _, _), dumps = jax.lax.scan(
+        step, (x, key, model_state), (indices, step_noise)
+    )
     if dump_steps is not None:
         return jnp.stack([dumps[i] for i in dump_steps])
     return x_final

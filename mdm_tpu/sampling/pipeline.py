@@ -163,21 +163,27 @@ class MotionGenerator:
         self._raw_sample = _raw_sample
         self._sample_jit = jax.jit(_raw_sample)
 
-        def _ar_scan(params, init_prefix, stacked_cond, keys):
+        def _ar_scan(params, init_prefix, stacked_cond, keys, chunk_noise=None):
             """Whole DiP autoregressive generation as ONE XLA program.
 
             lax.scan over chunks; the context_len-frame prefix is the carry
             (device-resident, never copied to host). stacked_cond carries any
             per-chunk conditioning (dynamic text) with a leading chunk axis.
+            `chunk_noise` [n_iters, B, pred_len, D] optionally overrides the
+            per-chunk init noise (determinism hook for parity tests).
             Returns [B, n_iters * pred_len, D].
             """
             B = init_prefix.shape[0]
             D = self.model.config.input_feats
 
             def body(prefix, xs):
-                cond_i, k = xs
+                cond_i, k, noise_i = xs
                 k, nk = jax.random.split(k)
-                noise = jax.random.normal(nk, (B, ccfg_pred_len, D), jnp.float32)
+                noise = (
+                    noise_i
+                    if noise_i is not None
+                    else jax.random.normal(nk, (B, ccfg_pred_len, D), jnp.float32)
+                )
                 sample = _raw_sample(
                     params, cond_i.replace(prefix=prefix), noise, k, None, None
                 )
@@ -186,7 +192,9 @@ class MotionGenerator:
 
             ccfg_pred_len = self.config.pred_len
             ccfg_context_len = self.config.context_len
-            _, chunks = jax.lax.scan(body, init_prefix, (stacked_cond, keys))
+            _, chunks = jax.lax.scan(
+                body, init_prefix, (stacked_cond, keys, chunk_noise)
+            )
             # [n_iters, B, pred_len, D] -> [B, n_iters*pred_len, D]
             n_iters = chunks.shape[0]
             return jnp.transpose(chunks, (1, 0, 2, 3)).reshape(B, n_iters * ccfg_pred_len, D)
@@ -254,6 +262,7 @@ class MotionGenerator:
         key: jax.Array,
         required_frames: int = 196,
         per_chunk_cond: Optional[Callable[[int, Conditioning], Conditioning]] = None,
+        chunk_noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """DiP: chunked prefix-completion generation of arbitrary length.
 
@@ -288,16 +297,23 @@ class MotionGenerator:
         if stacked is not None:
             init_prefix = self._shard(init_prefix)
             stacked = self._shard(stacked, axis=1)  # [n_iters, B, ...]
-            gen = self._ar_scan_jit(self.params, init_prefix, stacked, keys)
+            gen = self._ar_scan_jit(
+                self.params, init_prefix, stacked, keys, chunk_noise
+            )
         else:
             # Structurally inhomogeneous per-chunk conditioning: host loop,
             # still device-resident arrays (no np round-trips).
             prefix, buf = init_prefix, []
             for i in range(n_iters):
                 k, nk = jax.random.split(keys[i])
-                noise = jax.random.normal(
-                    nk, (batch_size, ccfg.pred_len, self.model.config.input_feats),
-                    jnp.float32,
+                noise = (
+                    chunk_noise[i]
+                    if chunk_noise is not None
+                    else jax.random.normal(
+                        nk,
+                        (batch_size, ccfg.pred_len, self.model.config.input_feats),
+                        jnp.float32,
+                    )
                 )
                 sample = self._sample_jit(
                     self.params, per_chunk[i].replace(prefix=prefix), noise, k,
