@@ -218,9 +218,11 @@ class MotionGenerator:
             return tree
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import DATA_AXIS
+        from ..parallel.mesh import batch_axes
 
-        dp = self.mesh.shape[DATA_AXIS]
+        names = batch_axes(self.mesh)
+        names_t = names if isinstance(names, tuple) else (names,)
+        dp = int(np.prod([self.mesh.shape[n] for n in names_t]))
 
         def put(x):
             if x is None or not hasattr(x, "ndim"):
@@ -229,7 +231,7 @@ class MotionGenerator:
             if x.ndim <= axis or x.shape[axis] % dp != 0:
                 return x
             spec = [None] * x.ndim
-            spec[axis] = DATA_AXIS
+            spec[axis] = names
             return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
 
         return jax.tree_util.tree_map(put, tree)

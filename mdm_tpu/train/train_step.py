@@ -20,7 +20,7 @@ from ..diffusion import gaussian as G
 from ..diffusion.losses import LossConfig, training_losses
 from ..diffusion.schedule import Schedule
 from ..models.mdm import Conditioning
-from ..parallel.mesh import DATA_AXIS, get_mesh
+from ..parallel.mesh import batch_sharding, get_mesh
 from .resample import (
     LossAwareState,
     loss_aware_sample_t,
@@ -153,7 +153,10 @@ def make_train_step(
         # relayout copies (measured 48x slower through the axon tunnel).
         return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
+    # On a hybrid multi-slice mesh the batch shards over ('slice', 'data'):
+    # the grad all-reduce then runs hierarchically (ICI within a slice, one
+    # slice-partial across DCN).
+    data = batch_sharding(mesh)
     # With tensor-parallel state shardings, params/opt/ema stay sharded over
     # the 'model' axis across steps; XLA inserts the TP collectives.
     state_sh = state_shardings if state_shardings is not None else repl
