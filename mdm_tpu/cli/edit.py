@@ -62,14 +62,23 @@ def main(argv=None):
     else:
         mask = upper_body_mask(T, B)
 
-    # Text conditioning optional; no text => guidance 0 (reference edit.py:71).
+    # Text conditioning, matching reference edit.py:69-72: --text_condition
+    # replaces every caption, and empty text forces guidance 0
+    # (unconditioned in-betweening is the reference default).
+    # --use_dataset_captions (beyond-reference) instead conditions each
+    # sample on its own dataset caption at the requested guidance.
     guidance = args.guidance_param
     cond = cond0
+    texts = None
     if args.text_condition:
+        texts = [args.text_condition] * B
+    elif args.use_dataset_captions and batch.get("text"):
+        texts = list(batch["text"][:B])
+    if texts is not None:
         embedder = make_text_embedder(args.text_encoder_type)
         if embedder is not None:
             cond = cond0.replace(
-                **{k: jnp.asarray(v) for k, v in embedder([args.text_condition] * B).items()}
+                **{k: jnp.asarray(v) for k, v in embedder(texts).items()}
             )
     else:
         guidance = 0.0
@@ -95,7 +104,8 @@ def main(argv=None):
     np.save(
         os.path.join(out_dir, "results.npy"),
         {"motion": joints, "gt": np.asarray(gt), "mask": mask,
-         "edit_mode": args.edit_mode, "lengths": lengths},
+         "edit_mode": args.edit_mode, "lengths": lengths,
+         "text": texts if texts is not None else [""] * B},
     )
     print(f"saved {os.path.join(out_dir, 'results.npy')}")
 

@@ -31,6 +31,25 @@ def load_prompts(args):
     return None, False
 
 
+def resolve_action_map(dataset: str, data_dir):
+    """Action name -> class index for the dataset (reference resolves names
+    through the dataset's own class list: data_loaders/a2m/uestc.py:40-74
+    reads info/action_classes.txt; humanact12 uses its fixed 12-name map)."""
+    if dataset == "uestc":
+        path = os.path.join(
+            data_dir or "dataset/uestc", "info", "action_classes.txt"
+        )
+        if os.path.exists(path):
+            with open(path) as f:
+                return {
+                    name.strip(): i for i, name in enumerate(f) if name.strip()
+                }
+        return {f"action_{i}": i for i in range(40)}
+    from ..data.a2m import HUMANACT12_ACTIONS
+
+    return {v: k for k, v in HUMANACT12_ACTIONS.items()}
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -55,6 +74,7 @@ def main(argv=None):
     prompts, dynamic = load_prompts(args)
     dataset_prefix = None
     dataset_actions = None
+    dataset_lengths = None
     if prompts is None:
         # Prompt source of last resort: the dataset's test split
         # (reference generate.py uses hml_mode='text_only'; 'train' for AR
@@ -75,6 +95,11 @@ def main(argv=None):
             )[: args.num_samples]
             if "action" in batch:  # a2m fallback: indices come with the batch
                 dataset_actions = np.asarray(batch["action"])[: args.num_samples]
+            if "lengths" in batch:
+                # each sample's REAL length rides into results.npy so viz
+                # and eval consumers can trim padding (reference
+                # generate.py:175-191 all_lengths)
+                dataset_lengths = np.asarray(batch["lengths"])[: args.num_samples]
             if args.autoregressive and "prefix" in batch:
                 dataset_prefix = batch["prefix"][: args.num_samples]
         except Exception as e:
@@ -90,9 +115,7 @@ def main(argv=None):
     if "action" in model.config.cond_mode and dataset_actions is not None:
         action_idx = jnp.asarray(dataset_actions[:B], jnp.int32)
     elif "action" in model.config.cond_mode:
-        from ..data.a2m import HUMANACT12_ACTIONS
-
-        name_to_idx = {v: k for k, v in HUMANACT12_ACTIONS.items()}
+        name_to_idx = resolve_action_map(args.dataset, args.data_dir)
         idxs = []
         for p in prompts:
             name = p[0] if isinstance(p, list) else p
@@ -101,10 +124,10 @@ def main(argv=None):
             elif isinstance(name, str) and name in name_to_idx:
                 idxs.append(name_to_idx[name])
             else:
+                known = ", ".join(list(name_to_idx)[:12])
                 raise SystemExit(
-                    f"unknown action {name!r}; pass a HumanAct12 action name "
-                    f"({', '.join(HUMANACT12_ACTIONS.values())}) or a numeric "
-                    f"class index"
+                    f"unknown action {name!r} for dataset {args.dataset}; "
+                    f"pass one of [{known}, ...] or a numeric class index"
                 )
         action_idx = jnp.asarray(idxs, jnp.int32)
     if dynamic:
@@ -207,31 +230,73 @@ def main(argv=None):
         os.path.dirname(args.model_path) or ".", f"samples_seed{args.seed}"
     )
     os.makedirs(out_dir, exist_ok=True)
+
+    # Per-sample REAL lengths (reference generate.py:175-191): dataset
+    # prompts keep each clip's length; synthetic prompts fill n_frames; the
+    # prefix/AR path stores the actually-generated frame count (:181-183).
+    motion_arr = np.concatenate(all_motions, axis=0)
+    if model.config.is_prefix_comp or args.autoregressive:
+        lengths = np.full(B, motion_arr.shape[1])
+    elif dataset_lengths is not None:
+        lengths = np.minimum(np.asarray(dataset_lengths[:B]), motion_arr.shape[1])
+    else:
+        lengths = np.full(B, n_frames)
+    all_lengths = np.tile(lengths, args.num_repetitions)
+
     npy_path = os.path.join(out_dir, "results.npy")
     np.save(
         npy_path,
         {
-            "motion": np.concatenate(all_motions, axis=0),
+            "motion": motion_arr,
             "text": all_text,
-            "lengths": np.full(B * args.num_repetitions, n_frames),
+            "lengths": all_lengths,
             "num_samples": B,
             "num_repetitions": args.num_repetitions,
         },
     )
     with open(npy_path.replace(".npy", ".txt"), "w") as f:
         f.write("\n".join(all_text))
+    with open(npy_path.replace(".npy", "_len.txt"), "w") as f:
+        f.write("\n".join(str(int(l)) for l in all_lengths))
     print(f"saved {npy_path}")
 
     if os.environ.get("MDM_TPU_NO_RENDER"):
         return
     try:
-        from ..visualize.plot_script import plot_3d_motion
+        from ..visualize.plot_script import plot_3d_motion, plot_3d_motion_grid
 
-        for i in range(min(B, 3)):
-            path = os.path.join(out_dir, f"sample{i:02d}.mp4")
-            plot_3d_motion(path, all_motions[0][i], title=all_text[i],
-                           dataset=args.dataset, fps=fps)
-            print(f"rendered {path}")
+        max_length = int(all_lengths.max())
+
+        def cell(si, ri):
+            m = motion_arr[ri * B + si][:max_length].copy()
+            L = int(all_lengths[ri * B + si])
+            if m.shape[0] > L:
+                # freeze the last real frame so all cells share a duration
+                # (reference generate.py:236-238)
+                m[L:-1] = m[L - 1]
+            return m
+
+        for ri in range(args.num_repetitions):
+            for si in range(B):
+                path = os.path.join(out_dir, f"sample{si:02d}_rep{ri:02d}.mp4")
+                path = plot_3d_motion(path, cell(si, ri), title=all_text[ri * B + si],
+                                      dataset=args.dataset, fps=fps)
+                print(f"rendered {path}")
+        # Tiled grid, 3 samples (rows) x all repetitions (columns) per file
+        # (reference save_multiple_samples, generate.py:253-280).
+        for s0 in range(0, B, 3):
+            s1 = min(s0 + 3, B)
+            cells, titles = [], []
+            for si in range(s0, s1):
+                for ri in range(args.num_repetitions):
+                    cells.append(cell(si, ri))
+                    titles.append(all_text[ri * B + si])
+            grid = os.path.join(out_dir, f"samples_{s0:02d}_to_{s1 - 1:02d}.mp4")
+            grid = plot_3d_motion_grid(
+                grid, cells, titles, ncols=args.num_repetitions,
+                dataset=args.dataset, fps=fps,
+            )
+            print(f"rendered {grid}")
     except Exception as e:
         print(f"(skipping video render: {e})")
 

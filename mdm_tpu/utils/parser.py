@@ -148,6 +148,12 @@ def add_edit_options(parser):
     g = parser.add_argument_group("edit")
     g.add_argument("--edit_mode", default="in_between", choices=["in_between", "upper_body"])
     g.add_argument("--text_condition", default="", type=str)
+    # Beyond-reference: condition each edit on its dataset caption. The
+    # reference always REPLACES captions with --text_condition and forces
+    # guidance 0 when it is empty (sample/edit.py:69-72), i.e. default
+    # in-betweening is unconditioned there; this flag opts into
+    # caption-conditioned editing instead.
+    g.add_argument("--use_dataset_captions", action="store_true")
     g.add_argument("--prefix_end", default=0.25, type=float)
     g.add_argument("--suffix_start", default=0.75, type=float)
 
