@@ -1,0 +1,156 @@
+"""Train the T2M evaluator networks: `python -m mdm_tpu.cli.train_evaluators`.
+
+Capability port of the reference's evaluator-training stack
+(data_loaders/humanml/networks/trainers.py — DecompTrainerV3,
+TextMotionMatchTrainer, LengthEstTrainer; the upstream text-to-motion repo
+drives them with per-stage scripts). Stages:
+
+  --stage decomp   movement conv autoencoder (run first)
+  --stage match    contrastive text/motion encoders (needs --decomp_path)
+  --stage length   motion-length estimator
+
+`--stage match` writes a `finest.npy` that `EvaluatorWrapper` loads
+directly, so a user can produce metric encoders for a NEW dataset without
+any torch checkpoint.
+"""
+from __future__ import annotations
+
+import os
+
+
+def _batches(dataset, batch_size, stage, seed=0):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import BatchIterator
+
+    rng = np.random.default_rng(seed)
+    while True:
+        it = BatchIterator(dataset, batch_size, shuffle=True, seed=seed,
+                           infinite=False)
+        for b in it:
+            if stage == "decomp":
+                yield jnp.asarray(b["x"])
+                continue
+            batch = {
+                "word_embs": jnp.asarray(b.get(
+                    "word_embeddings",
+                    np.zeros((batch_size, 22, 300), np.float32))),
+                "pos_onehot": jnp.asarray(b.get(
+                    "pos_one_hots",
+                    np.zeros((batch_size, 22, 15), np.float32))),
+                "cap_lens": jnp.asarray(np.maximum(
+                    np.asarray(b.get("sent_lens",
+                                     np.full(batch_size, 4))), 1)),
+                "m_lens": jnp.asarray(np.asarray(b["lengths"], np.int32)),
+            }
+            if stage == "match":
+                batch["motions"] = jnp.asarray(b["x"])
+                batch["shift"] = jnp.asarray(
+                    int(rng.integers(1, max(2, batch_size - 1)))
+                )
+            yield batch
+        seed += 1
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+    import numpy as np
+
+    from ..data import WordVectorizer, get_dataset
+    from ..eval.networks import (
+        MotionEncoderBiGRUCo,
+        MotionLenEstimatorBiGRU,
+        MovementConvDecoder,
+        MovementConvEncoder,
+        TextEncoderBiGRUCo,
+    )
+    from ..eval.train_evaluators import (
+        EvalTrainConfig,
+        load_evaluator_params,
+        make_decomp_step,
+        make_length_est_step,
+        make_match_step,
+        run_training,
+        save_evaluator_params,
+    )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", required=True, choices=["decomp", "match", "length"])
+    ap.add_argument("--dataset", default="humanml", choices=["humanml", "kit"])
+    ap.add_argument("--data_dir", default="")
+    ap.add_argument("--glove_dir", default="glove")
+    ap.add_argument("--save_path", required=True)
+    ap.add_argument("--decomp_path", default="", help="decomp .npy for --stage match")
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--num_steps", type=int, default=10000)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--negative_margin", type=float, default=10.0)
+    ap.add_argument("--unit_length", type=int, default=4)
+    ap.add_argument("--movement_dim", type=int, default=512)
+    ap.add_argument("--coemb_dim", type=int, default=512)
+    ap.add_argument("--num_len_buckets", type=int, default=50)
+    ap.add_argument("--log_every", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    dim_pose = 263 if args.dataset == "humanml" else 251
+    w_vec = None
+    if os.path.exists(os.path.join(args.glove_dir, "our_vab_data.npy")):
+        w_vec = WordVectorizer(args.glove_dir, "our_vab")
+    elif args.stage in ("match", "length"):
+        print("WARNING: GloVe vectorizer missing; text features are zeros "
+              "(trained encoders will NOT be comparable)")
+    dataset = get_dataset(
+        args.dataset, split="train", hml_mode="eval",
+        data_root=args.data_dir or None,
+    )
+    dataset.w_vectorizer = w_vec
+
+    cfg = EvalTrainConfig(lr=args.lr, unit_length=args.unit_length,
+                          negative_margin=args.negative_margin)
+    key = jax.random.PRNGKey(args.seed)
+    batches = _batches(dataset, args.batch_size, args.stage, args.seed)
+
+    if args.stage == "decomp":
+        enc = MovementConvEncoder(hidden_size=args.movement_dim,
+                                  output_size=args.movement_dim)
+        dec = MovementConvDecoder(hidden_size=args.movement_dim,
+                                  output_size=dim_pose)
+        init, step = make_decomp_step(enc, dec, cfg)
+        params, _ = run_training(init, step, batches, args.num_steps, key,
+                                 log_every=args.log_every)
+        save_evaluator_params(args.save_path, params)
+    elif args.stage == "length":
+        est = MotionLenEstimatorBiGRU(300, 15, 512, args.num_len_buckets)
+        init, step = make_length_est_step(est, cfg)
+        params, _ = run_training(init, step, batches, args.num_steps, key,
+                                 log_every=args.log_every)
+        save_evaluator_params(args.save_path, {"estimator": params})
+    else:  # match
+        assert args.decomp_path, "--stage match requires --decomp_path"
+        movement_params = load_evaluator_params(args.decomp_path)["enc"]
+        text_enc = TextEncoderBiGRUCo(300, 15, args.coemb_dim, args.coemb_dim)
+        motion_enc = MotionEncoderBiGRUCo(args.movement_dim,
+                                          args.coemb_dim * 2, args.coemb_dim)
+        movement_enc = MovementConvEncoder(hidden_size=args.movement_dim,
+                                           output_size=args.movement_dim)
+        init, step = make_match_step(text_enc, motion_enc, movement_enc, cfg)
+        params, _ = run_training(
+            init, step, batches, args.num_steps, key,
+            step_args=lambda b: (movement_params, b),
+            log_every=args.log_every,
+        )
+        # EvaluatorWrapper-ready layout (finest.npy)
+        save_evaluator_params(args.save_path, {
+            "movement": {"params": movement_params},
+            "text": {"params": params["text"]},
+            "motion": {"params": params["motion"]},
+        })
+    print(f"saved {args.save_path}")
+
+
+if __name__ == "__main__":
+    main()

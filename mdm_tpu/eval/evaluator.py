@@ -48,8 +48,15 @@ class EvaluatorWrapper:
         if params is None:
             ckpt_dir = "t2m" if dataset_name == "humanml" else dataset_name
             path = os.path.join(checkpoints_dir, ckpt_dir, "text_mot_match", "model", "finest.tar")
+            native = path.replace("finest.tar", "finest.npy")
             if os.path.exists(path):
                 params = self.load_torch_checkpoint(path)
+            elif os.path.exists(native):
+                # Our own trained evaluators (eval/train_evaluators.py +
+                # cli/train_evaluators.py save this format).
+                from .train_evaluators import load_evaluator_params
+
+                params = load_evaluator_params(native)
             else:
                 # Metric numbers are meaningless without the frozen
                 # evaluators; random init keeps smoke/dev runs alive.

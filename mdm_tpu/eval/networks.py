@@ -41,6 +41,29 @@ class MovementConvEncoder(nn.Module):
         return nn.Dense(self.output_size, name="out_net")(x)
 
 
+class MovementConvDecoder(nn.Module):
+    """[B, T//4, input_size] -> [B, T, output_size] (two stride-2 transposed
+    convs + linear head; reference modules.py:101-120). Trained by the
+    decomposition stage of the evaluator-training pipeline."""
+
+    hidden_size: int = 512
+    output_size: int = 263
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # torch ConvTranspose1d(k=4, s=2, p=1) == flax ConvTranspose with
+        # padding (2, 2) and transpose_kernel=True (verified numerically).
+        x = nn.ConvTranspose(self.hidden_size, (4,), strides=(2,),
+                             padding=[(2, 2)], transpose_kernel=True,
+                             name="deconv1")(x)
+        x = leaky_relu(x)
+        x = nn.ConvTranspose(self.output_size, (4,), strides=(2,),
+                             padding=[(2, 2)], transpose_kernel=True,
+                             name="deconv2")(x)
+        x = leaky_relu(x)
+        return nn.Dense(self.output_size, name="out_net")(x)
+
+
 class _BiGRUCore(nn.Module):
     """Bidirectional GRU over padded [B, T, H]; returns [h_fw_last, h_bw_last]."""
 
@@ -197,6 +220,22 @@ def convert_movement_encoder(sd: Mapping) -> Dict:
         "params": {
             "conv1": _conv1d(sd, "main.0"),
             "conv2": _conv1d(sd, "main.3"),
+            "out_net": _lin(sd, "out_net"),
+        }
+    }
+
+
+def _convtranspose1d(sd, p):
+    w = np.asarray(sd[f"{p}.weight"])  # torch: [in, out, k]
+    # flax transpose_kernel=True layout: [k, out, in]
+    return {"kernel": np.transpose(w, (2, 1, 0)), "bias": np.asarray(sd[f"{p}.bias"])}
+
+
+def convert_movement_decoder(sd: Mapping) -> Dict:
+    return {
+        "params": {
+            "deconv1": _convtranspose1d(sd, "main.0"),
+            "deconv2": _convtranspose1d(sd, "main.2"),
             "out_net": _lin(sd, "out_net"),
         }
     }
