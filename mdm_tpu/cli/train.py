@@ -93,6 +93,7 @@ def main(argv=None):
             ema_decay=args.avg_model_beta, use_ema=args.use_ema,
         ),
         cond_mask_prob=args.cond_mask_prob,
+        schedule_sampler=getattr(args, "schedule_sampler", "uniform"),
     )
 
     # Geometric losses (rcxyz / vel_rcxyz / fc) decode rot6d -> joints via the
@@ -115,6 +116,21 @@ def main(argv=None):
         model.apply, sched, config, get_xyz=get_xyz,
         target_loss_builder=target_loss_builder,
     )
+    if config.schedule_sampler == "loss-second-moment":
+        # The loss-aware step threads a sampler-state (per-timestep loss
+        # ring buffer, replicated) alongside the TrainState; adapt it to
+        # TrainLoop's (state, batch, key) -> (state, metrics) contract.
+        from ..train.resample import LossAwareState
+
+        sampler_box = {"s": LossAwareState.create(sched.num_timesteps)}
+        inner_step = step
+
+        def step(state, batch, key):  # noqa: F811
+            state, metrics, sampler_box["s"] = inner_step(
+                state, batch, key, sampler_box["s"]
+            )
+            return state, metrics
+
     state = create_train_state(params, config.optim)
 
     platform = get_platform(args.train_platform_type, args.save_dir)

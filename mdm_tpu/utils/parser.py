@@ -95,6 +95,12 @@ def add_training_options(parser):
                         "(TensorBoard/Perfetto; TPU-native observability)")
     g.add_argument("--num_steps", default=600_000, type=int)
     g.add_argument("--num_frames", default=60, type=int)
+    # 'uniform' is the reference's effective default (training_loop.py:104
+    # hardcodes it); 'loss-second-moment' activates the importance sampler
+    # the reference ships as dead code (diffusion/resample.py:83-154), here
+    # as a ring buffer updated inside the jitted step.
+    g.add_argument("--schedule_sampler", default="uniform",
+                   choices=["uniform", "loss-second-moment"])
     g.add_argument("--resume_checkpoint", default="", type=str)
     g.add_argument("--eval_during_training", action="store_true")
     g.add_argument("--eval_batch_size", default=32, type=int)

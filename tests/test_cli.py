@@ -594,3 +594,23 @@ def test_edit_cli_caption_conditioning(tmp_path, synthetic_humanml, monkeypatch)
     # inpainting invariant still holds: GT frames preserved outside the
     # edited window for every sample
     assert np.isfinite(r2["motion"]).all()
+
+
+def test_train_cli_loss_aware_sampler(tmp_path, synthetic_humanml, monkeypatch):
+    """--schedule_sampler loss-second-moment trains end-to-end through the
+    CLI (the reference ships this sampler as dead code; here it runs inside
+    the jitted step with a replicated ring buffer)."""
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run_la")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "8", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "4", "--save_interval", "2",
+        "--log_interval", "1", "--schedule_sampler", "loss-second-moment",
+    ])
+    assert any(f.startswith("ckpt_") for f in os.listdir(save_dir))
+    with open(os.path.join(save_dir, "args.json")) as f:
+        assert json.load(f)["schedule_sampler"] == "loss-second-moment"
