@@ -56,17 +56,28 @@ def bench(B: int, n_chunks: int = 8, iters: int = 10):
     frames = n_chunks * PRED
     key = jax.random.PRNGKey(1)
 
-    def run(k):
-        out = gen.sample_autoregressive(cond, B, k, required_frames=frames)
-        jax.block_until_ready(out)
-        return out
+    # Slope method (CLAUDE.md): chain iterations through a 0-weight data
+    # dependency on the previous output, end each segment with a host pull.
+    fb = {"out": None, "i": 0}
 
-    run(key)  # compile
-    t0 = time.perf_counter()
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        run(sub)
-    dt = (time.perf_counter() - t0) / iters
+    def run_n(k):
+        c = cond
+        for _ in range(k):
+            if fb["out"] is not None:
+                c = cond.replace(
+                    text_embed=cond.text_embed + 0.0 * fb["out"][:, 0, :1]
+                )
+            fb["out"] = gen.sample_autoregressive(
+                c, B, jax.random.fold_in(key, fb["i"]), required_frames=frames
+            )
+            fb["i"] += 1
+        _ = float(np.asarray(fb["out"][0, 0, 0]))
+
+    run_n(2)  # compile + warmup
+    n1, n2 = max(2, iters // 3), iters
+    t0 = time.perf_counter(); run_n(n1); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run_n(n2); t2 = time.perf_counter() - t0
+    dt = (t2 - t1) / (n2 - n1)
     ms_per_chunk = dt / n_chunks * 1e3
     return {
         "B": B,
