@@ -69,7 +69,24 @@ class BatchIterator:
         prefetch: int = 2,
         workers: int = 0,
         text_embedder: Optional[Callable] = None,
+        shard: Optional[tuple] = None,
     ):
+        """shard=(rank, world): multi-host input sharding — this iterator
+        yields only rows [rank*B/world, (rank+1)*B/world) of each GLOBAL
+        batch. All processes derive the identical global order (batches are
+        pure functions of (seed, epoch, position)), so per-process local
+        batches assemble into the global array via
+        `jax.make_array_from_process_local_data` (parallel.shard_batch) with
+        no cross-host coordination."""
+        if shard is not None:
+            rank, world = shard
+            if batch_size % world != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by world {world}"
+                )
+            if not 0 <= rank < world:
+                raise ValueError(f"shard rank {rank} outside world {world}")
+        self.shard = shard
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -105,7 +122,13 @@ class BatchIterator:
         return chunks
 
     def _make_batch(self, indices, rng):
-        samples = [self.dataset.sample(int(i), rng) for i in indices]
+        # Per-sample augmentation substreams (spawned, so row r's draws are
+        # independent of rows 0..r-1): this is what makes multi-host shards
+        # bit-equal to the corresponding rows of the unsharded batch.
+        subs = rng.spawn(len(indices))
+        samples = [
+            self.dataset.sample(int(i), sub) for i, sub in zip(indices, subs)
+        ]
         if self.pred_len > 0:
             batch = collate_prefix(samples, self.pred_len)
         else:
@@ -119,7 +142,25 @@ class BatchIterator:
 
     def _batch_at(self, epoch: int, pos: int, chunk) -> Dict:
         rng = np.random.default_rng((self.seed, 1, epoch, pos))
-        return self._make_batch(chunk, rng)
+        if self.shard is None:
+            return self._make_batch(chunk, rng)
+        # Multi-host: build the FULL global batch's sample list only for the
+        # local row range. Per-sample augmentation rngs must match the
+        # unsharded stream, so each sample draws from its own (seed-derived)
+        # substream indexed by global row.
+        rank, world = self.shard
+        local = self.batch_size // world
+        rows = range(rank * local, (rank + 1) * local)
+        subs = rng.spawn(self.batch_size)  # same spawn order as unsharded
+        samples = [self.dataset.sample(int(chunk[r]), subs[r]) for r in rows]
+        if self.pred_len > 0:
+            batch = collate_prefix(samples, self.pred_len)
+        else:
+            batch = collate_batch(samples, target_batch_size=local)
+        if self.text_embedder is not None and "text" in batch:
+            with self._embed_lock:
+                batch.update(self.text_embedder(batch["text"]))
+        return batch
 
     def batches_per_epoch(self) -> int:
         return len(self._epoch_chunks(0))

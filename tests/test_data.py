@@ -344,3 +344,34 @@ class TestBatchIteratorErrors:
         )
         with pytest.raises(RuntimeError, match="disk went away"):
             list(it)
+
+
+class TestMultiHostSharding:
+    def test_sharded_batches_equal_unsharded_rows(self, synthetic_humanml):
+        """BatchIterator(shard=(rank, world)) yields exactly rows
+        [rank*B/w, (rank+1)*B/w) of the global batch every process would
+        agree on — the input contract behind multi-host shard_batch."""
+        from mdm_tpu.data import BatchIterator, get_dataset
+
+        ds = get_dataset("humanml", split="train",
+                         data_root=synthetic_humanml, use_cache=False)
+        full = BatchIterator(ds, 4, seed=3, infinite=False)
+        s0 = BatchIterator(ds, 4, seed=3, infinite=False, shard=(0, 2))
+        s1 = BatchIterator(ds, 4, seed=3, infinite=False, shard=(1, 2))
+        for b, b0, b1 in zip(iter(full), iter(s0), iter(s1)):
+            assert b0["x"].shape[0] == 2 and b1["x"].shape[0] == 2
+            np.testing.assert_array_equal(
+                np.concatenate([b0["x"], b1["x"]]), b["x"])
+            np.testing.assert_array_equal(
+                np.concatenate([b0["lengths"], b1["lengths"]]), b["lengths"])
+            assert list(b0["text"]) + list(b1["text"]) == list(b["text"])
+
+    def test_shard_validation(self, synthetic_humanml):
+        from mdm_tpu.data import BatchIterator, get_dataset
+
+        ds = get_dataset("humanml", split="train",
+                         data_root=synthetic_humanml, use_cache=False)
+        with pytest.raises(ValueError, match="divisible"):
+            BatchIterator(ds, 5, shard=(0, 2))
+        with pytest.raises(ValueError, match="rank"):
+            BatchIterator(ds, 4, shard=(2, 2))
