@@ -305,3 +305,78 @@ def test_dip_autoregressive_parity(ref_env):
     print(f"DiP AR 10-step x5-chunk max drift: {drift:.2e}")
     assert ours.shape == theirs.shape == (B, req, D)
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_flagship_training_loss_and_grad_parity(ref_env, flagship_pair):
+    """Training-path parity at published scale: the reference's
+    training_losses + torch autograd vs our loss fn + jax.grad through
+    converted weights — per-sample losses AND parameter gradients agree.
+    The sampling-side flagship tests bound forward drift; this bounds the
+    backward pass (what 600k training steps actually accumulate)."""
+    import torch
+
+    from mdm_tpu.diffusion import gaussian as G
+    from mdm_tpu.diffusion.losses import LossConfig, training_losses
+
+    _, gd, SpacedDiffusion, ref_space = ref_env
+    ref_model, model, params = flagship_pair
+    ref_diff = _make_ref_diffusion(gd, SpacedDiffusion, ref_space,
+                                   respace="1000")  # full process
+
+    B, T, D = 2, 196, 263
+    x_start = RNG.normal(size=(B, T, D)).astype(np.float32)
+    noise = RNG.normal(size=(B, T, D)).astype(np.float32)
+    text_embed = RNG.normal(size=(B, 512)).astype(np.float32)
+    t = np.array([37, 811])
+
+    # ---- reference: training_losses + autograd
+    ref_model.train()
+    ref_model.zero_grad()
+    y = {
+        "text_embed": torch.from_numpy(text_embed).unsqueeze(0),
+        "mask": torch.ones(B, 1, 1, T, dtype=torch.bool),
+    }
+    x_ref = torch.from_numpy(x_start.transpose(0, 2, 1)[:, :, None, :])
+    n_ref = torch.from_numpy(noise.transpose(0, 2, 1)[:, :, None, :])
+    terms_ref = ref_diff.training_losses(
+        ref_model, x_ref, torch.from_numpy(t), model_kwargs={"y": y},
+        noise=n_ref,
+    )
+    loss_ref = terms_ref["loss"].mean()
+    loss_ref.backward()
+    g_ref = ref_model.input_process.poseEmbedding.weight.grad.numpy()
+
+    # ---- ours: same q_sample + model forward + masked_l2 under jax.grad
+    sched = Schedule.create("cosine", 1000)
+    cond = Conditioning(
+        frames_mask=jnp.ones((B, T), bool), text_embed=jnp.asarray(text_embed)
+    )
+    xs = jnp.asarray(x_start)
+    ns = jnp.asarray(noise)
+    tj = jnp.asarray(t)
+    x_t = G.q_sample(sched, xs, tj, ns)
+
+    def loss_fn(p):
+        out = model.apply(p, x_t, tj, cond)
+        terms = training_losses(
+            sched, out, xs, x_t, tj, ns,
+            jnp.ones((B, T, 1), jnp.float32), LossConfig(),
+        )
+        return jnp.mean(terms["loss"]), terms
+
+    (loss_ours, terms_ours), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    np.testing.assert_allclose(
+        np.asarray(terms_ours["loss"]), terms_ref["loss"].detach().numpy(),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(float(loss_ours), float(loss_ref), rtol=1e-4)
+    # converted layout: ours [in, out] vs torch [out, in]
+    g_ours = np.asarray(
+        grads["params"]["input_process"]["poseEmbedding"]["kernel"]
+    ).T
+    drift = np.abs(g_ours - g_ref).max()
+    print(f"flagship grad parity max drift: {drift:.2e} "
+          f"(grad scale {np.abs(g_ref).max():.2e})")
+    np.testing.assert_allclose(g_ours, g_ref, atol=2e-5)
