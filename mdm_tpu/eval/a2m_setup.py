@@ -118,12 +118,19 @@ def make_a2m_feature_input(dataset_name: str) -> Callable:
 
     smpl = SMPLModel.load()
     r2x_cfg = Rot2XYZConfig(jointstype="smpl", vertstrans=True)
-    get_xyz = jax.jit(lambda feats: rot2xyz(smpl, feats.reshape(
-        feats.shape[0], feats.shape[1], 25, 6), r2x_cfg))
+
+    def _xyz_flat(feats):
+        joints = rot2xyz(
+            smpl, feats.reshape(feats.shape[0], feats.shape[1], 25, 6), r2x_cfg
+        )  # [B, T, 24, 3]
+        return joints.reshape(joints.shape[0], joints.shape[1], -1)
+
+    get_xyz = jax.jit(_xyz_flat)
 
     def feature_input(feats_norm):
-        joints = np.asarray(get_xyz(jnp.asarray(feats_norm)))  # [B, T, 24, 3]
-        return joints.reshape(joints.shape[0], joints.shape[1], -1)
+        # Stays a DEVICE array: the classifier consumes it directly and the
+        # whole generate -> FK -> classify chain runs without host syncs.
+        return get_xyz(jnp.asarray(feats_norm))
 
     return feature_input
 
@@ -163,8 +170,10 @@ def make_a2m_loaders_factory(
                 frames_mask=jnp.asarray(batch["mask"]),
                 action=jnp.asarray(batch["action"]),
             )
-            feats = np.asarray(
-                generator.sample_features(cond, len(batch["action"]), num_frames, sub)
+            # Device-resident: no np.asarray between sampler, FK, and
+            # classifier — batches pipeline under async dispatch.
+            feats = generator.sample_features(
+                cond, len(batch["action"]), num_frames, sub
             )
             genb.append({
                 "output_xyz": feature_input(feats),

@@ -99,13 +99,21 @@ class EvaluatorWrapper:
     def _embed_text_impl(self, word_embs, pos_ohot, cap_lens):
         return self.text_enc.apply(self.params["text"], word_embs, pos_ohot, cap_lens)
 
-    def get_co_embeddings(
-        self, word_embs, pos_ohot, cap_lens, motions, m_lens
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def get_co_embeddings_device(self, word_embs, pos_ohot, cap_lens, motions, m_lens):
+        """Device-array variant: lets the harness run a whole loader pass
+        without per-batch host syncs (pull once at the end)."""
         text_emb = self._embed_text(
             jnp.asarray(word_embs), jnp.asarray(pos_ohot), jnp.asarray(cap_lens)
         )
         motion_emb = self._embed_motion(jnp.asarray(motions), jnp.asarray(m_lens))
+        return text_emb, motion_emb
+
+    def get_co_embeddings(
+        self, word_embs, pos_ohot, cap_lens, motions, m_lens
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        text_emb, motion_emb = self.get_co_embeddings_device(
+            word_embs, pos_ohot, cap_lens, motions, m_lens
+        )
         return np.asarray(text_emb), np.asarray(motion_emb)
 
     def get_motion_embeddings(self, motions, m_lens) -> np.ndarray:

@@ -40,22 +40,28 @@ def _text_features(batch):
 
 
 def evaluate_matching_score(eval_wrapper: EvaluatorWrapper, motion_loaders: Dict[str, Iterable], log=print):
+    import jax
+
     match_score_dict = OrderedDict()
     R_precision_dict = OrderedDict()
     activation_dict = OrderedDict()
     any_degraded = False
     for name, loader in motion_loaders.items():
-        all_motion_embeddings = []
-        score_list = []
-        all_size = 0
-        matching_score_sum = 0
-        top_k_count = np.zeros(3)
+        # Embed the WHOLE loader pass on device first, pull once: per-batch
+        # np conversion would force a blocking sync per batch (75 ms RTT on
+        # the dev tunnel) and serialize generation against embedding.
+        device_embs = []
         for batch in loader:
             w, p, sl, degraded = _text_features(batch)
             any_degraded = any_degraded or degraded
-            text_emb, motion_emb = eval_wrapper.get_co_embeddings(
+            device_embs.append(eval_wrapper.get_co_embeddings_device(
                 w, p, sl, batch["x"], batch["lengths"],
-            )
+            ))
+        all_motion_embeddings = []
+        all_size = 0
+        matching_score_sum = 0
+        top_k_count = np.zeros(3)
+        for text_emb, motion_emb in jax.device_get(device_embs):
             dist_mat = M.euclidean_distance_matrix(text_emb, motion_emb)
             matching_score_sum += dist_mat.trace()
             argsm = np.argsort(dist_mat, axis=1)
@@ -330,13 +336,13 @@ class GeneratedMotionLoader:
             if self.generator.config.autoregressive:
                 # DiP eval: generate to the clip's original length.
                 T_out = int(np.max(batch.get("orig_lengths", [T])))
-                feats = np.asarray(
-                    self.generator.sample_autoregressive(
-                        cond, B, sub, required_frames=T_out
-                    )
+                feats = self.generator.sample_autoregressive(
+                    cond, B, sub, required_frames=T_out
                 )
             else:
-                feats = np.asarray(self.generator.sample_features(cond, B, T, sub))
+                # Device array on purpose: the evaluator embeds it directly,
+                # so generation and embedding pipeline without host syncs.
+                feats = self.generator.sample_features(cond, B, T, sub)
             if self.model_mean is not None and self.eval_mean is not None:
                 feats = feats * self.model_std + self.model_mean
                 feats = (feats - self.eval_mean) / self.eval_std

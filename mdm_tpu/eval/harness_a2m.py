@@ -109,13 +109,24 @@ class A2MEvaluation:
         )
 
     def _collect(self, loader: Iterable, params) -> Dict[str, np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
         feats, yhat, labels = [], [], []
         for batch in loader:
-            out = self._run(params, batch["output_xyz"], batch["lengths"])
-            feats.append(np.asarray(out["features"]))
-            yhat.append(np.asarray(out["yhat"]))
+            # Keep classifier outputs on device: per-batch np.asarray would
+            # force a blocking sync per batch (75 ms RTT each on the dev
+            # tunnel) and serialize generation against classification. ONE
+            # device_get below drains the whole async pipeline.
+            out = self._run(
+                params, jnp.asarray(batch["output_xyz"]),
+                jnp.asarray(batch["lengths"]),
+            )
+            feats.append(out["features"])
+            yhat.append(out["yhat"])
             if "y" in batch:
                 labels.append(np.asarray(batch["y"]))
+        feats, yhat = jax.device_get((feats, yhat))
         return {
             "features": np.concatenate(feats),
             "yhat": np.concatenate(yhat),
