@@ -81,8 +81,10 @@ def main():
     ]
 
     def feature_input(feats):
-        # stand-in for SMPL rot2xyz: fixed projection to the classifier dims
-        return np.asarray(feats[..., :72], np.float32)
+        # stand-in for SMPL rot2xyz: fixed projection to the classifier dims.
+        # Stays a DEVICE array, matching make_a2m_feature_input: the whole
+        # generate -> FK -> classify chain pipelines without host syncs.
+        return feats[..., :72].astype(jnp.float32)
 
     def make_loaders(seed):
         key = jax.random.PRNGKey(seed)
@@ -94,7 +96,7 @@ def main():
             key, sub = jax.random.split(key)
             cond = Conditioning(frames_mask=jnp.asarray(b["mask"]),
                                 action=jnp.asarray(b["y"]))
-            feats = np.asarray(gen.sample_features(cond, B, T, sub))
+            feats = gen.sample_features(cond, B, T, sub)
             genb.append({"output_xyz": feature_input(feats),
                          "lengths": b["lengths"], "y": b["y"]})
         return {"gt": gt1, "gt2": gt2, "gen": genb}
