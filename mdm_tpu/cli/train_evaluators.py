@@ -12,6 +12,12 @@ drives them with per-stage scripts). Stages:
 `--stage match` writes a `finest.npy` that `EvaluatorWrapper` loads
 directly, so a user can produce metric encoders for a NEW dataset without
 any torch checkpoint.
+
+  --stage comp_v6  the T2M baseline generator itself (CompTrainerV6,
+                   trainers.py:211-746): scheduled-length curriculum over
+                   the VAE seq2seq; writes a params .npy that
+                   `T2MBaselineGenerator`/`t2m_generate` load directly
+                   (the eval CLI's `--t2m_baseline_path`).
 """
 from __future__ import annotations
 
@@ -78,7 +84,8 @@ def main(argv=None):
     )
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", required=True, choices=["decomp", "match", "length"])
+    ap.add_argument("--stage", required=True,
+                    choices=["decomp", "match", "length", "comp_v6"])
     ap.add_argument("--dataset", default="humanml", choices=["humanml", "kit"])
     ap.add_argument("--data_dir", default="")
     ap.add_argument("--glove_dir", default="glove")
@@ -94,6 +101,15 @@ def main(argv=None):
     ap.add_argument("--num_len_buckets", type=int, default=50)
     ap.add_argument("--log_every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    # comp_v6 curriculum (CompTrainerV6.train, trainers.py:604-746)
+    ap.add_argument("--tf_ratio", type=float, default=0.4)
+    ap.add_argument("--lambda_kld", type=float, default=0.01)
+    ap.add_argument("--schedule_start", type=int, default=0,
+                    help="0 = dataset default (10 t2m / 6 kit)")
+    ap.add_argument("--schedule_end", type=int, default=49)
+    ap.add_argument("--max_sub_epoch", type=int, default=50)
+    ap.add_argument("--max_batches", type=int, default=0,
+                    help="cap batches per (length, split) pass; 0 = all")
     args = ap.parse_args(argv)
 
     dim_pose = 263 if args.dataset == "humanml" else 251
@@ -108,6 +124,55 @@ def main(argv=None):
         data_root=args.data_dir or None,
     )
     dataset.w_vectorizer = w_vec
+
+    if args.stage == "comp_v6":
+        from ..eval.train_t2m_generator import (
+            CompV6TrainConfig,
+            init_comp_v6_params,
+            make_curriculum_batches,
+            movement_params_from_flax,
+            save_comp_v6_params,
+            train_comp_v6,
+        )
+
+        val_split = next(
+            (s for s in ("val", "test")
+             if os.path.exists(os.path.join(
+                 dataset.opt.data_root, f"{s}.txt"))),
+            "train",
+        )
+        val_ds = get_dataset(
+            args.dataset, split=val_split, hml_mode="eval",
+            data_root=args.data_dir or None,
+        )
+        val_ds.w_vectorizer = w_vec
+        ccfg = CompV6TrainConfig(
+            lr=args.lr, unit_length=args.unit_length,
+            dim_pose=dim_pose, lambda_kld=args.lambda_kld,
+            tf_ratio=args.tf_ratio,
+            schedule_start=(args.schedule_start
+                            or (10 if args.dataset == "humanml" else 6)),
+            schedule_end=args.schedule_end,
+            max_sub_epoch=args.max_sub_epoch,
+        )
+        mov_enc = mov_dec = None
+        if args.decomp_path:
+            from ..eval.train_evaluators import load_evaluator_params
+
+            dp = load_evaluator_params(args.decomp_path)
+            mov_enc, mov_dec = movement_params_from_flax(dp["enc"], dp["dec"])
+        params = init_comp_v6_params(
+            jax.random.PRNGKey(args.seed), ccfg,
+            mov_enc=mov_enc, mov_dec=mov_dec)
+        make_batches = make_curriculum_batches(
+            dataset, val_ds, args.batch_size, ccfg, seed=args.seed,
+            max_batches=args.max_batches)
+        params = train_comp_v6(
+            params, make_batches, ccfg, key=jax.random.PRNGKey(args.seed),
+            rng=np.random.default_rng(args.seed))
+        save_comp_v6_params(args.save_path, params)
+        print(f"saved {args.save_path}")
+        return
 
     cfg = EvalTrainConfig(lr=args.lr, unit_length=args.unit_length,
                           negative_margin=args.negative_margin)

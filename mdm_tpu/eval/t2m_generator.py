@@ -426,7 +426,7 @@ def convert_movement_decoder(sd: Mapping) -> Dict:
 
 def convert_comp_v6(state: Mapping, n_layers_pri: int = 1, n_layers_dec: int = 1) -> Dict:
     """Convert a CompTrainerV6 checkpoint dict (trainers.py:553-579 keys)."""
-    return {
+    out = {
         "text_enc": convert_text_encoder_bigru(state["text_enc"]),
         "seq_pri": convert_prior(state["seq_pri"], n_layers_pri),
         "seq_dec": convert_vae_decoder(state["seq_dec"], n_layers_dec),
@@ -434,6 +434,10 @@ def convert_comp_v6(state: Mapping, n_layers_pri: int = 1, n_layers_dec: int = 1
         "mov_enc": convert_movement_encoder(state["mov_enc"]),
         "mov_dec": convert_movement_decoder(state["mov_dec"]),
     }
+    # Training checkpoints carry the posterior too (trainers.py:560).
+    if "seq_post" in state:
+        out["seq_post"] = convert_prior(state["seq_post"], n_layers_pri)
+    return out
 
 
 def load_comp_v6(path: str) -> Dict:
@@ -443,7 +447,8 @@ def load_comp_v6(path: str) -> Dict:
     state = torch.load(path, map_location="cpu", weights_only=False)
     sds = {k: {kk: vv.numpy() for kk, vv in v.items()}
            for k, v in state.items() if isinstance(v, dict) and k in (
-               "text_enc", "seq_pri", "seq_dec", "att_layer", "mov_enc", "mov_dec")}
+               "text_enc", "seq_pri", "seq_post", "seq_dec", "att_layer",
+               "mov_enc", "mov_dec")}
     return convert_comp_v6(sds)
 
 
