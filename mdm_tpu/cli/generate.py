@@ -36,15 +36,10 @@ def resolve_action_map(dataset: str, data_dir):
     through the dataset's own class list: data_loaders/a2m/uestc.py:40-74
     reads info/action_classes.txt; humanact12 uses its fixed 12-name map)."""
     if dataset == "uestc":
-        path = os.path.join(
-            data_dir or "dataset/uestc", "info", "action_classes.txt"
-        )
-        if os.path.exists(path):
-            with open(path) as f:
-                return {
-                    name.strip(): i for i, name in enumerate(f) if name.strip()
-                }
-        return {f"action_{i}": i for i in range(40)}
+        from ..data.a2m import uestc_action_classes
+
+        return {name: i for i, name in
+                uestc_action_classes(data_dir or "dataset/uestc").items()}
     from ..data.a2m import HUMANACT12_ACTIONS
 
     return {v: k for k, v in HUMANACT12_ACTIONS.items()}

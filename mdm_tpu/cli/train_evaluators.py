@@ -52,8 +52,11 @@ def _batches(dataset, batch_size, stage, seed=0):
             }
             if stage == "match":
                 batch["motions"] = jnp.asarray(b["x"])
+                # np.random.randint(0, B-1) (trainers.py:975): [0, B-2];
+                # shift 0 makes the "negative" pairs the positives — a
+                # reference quirk kept for checkpoint comparability.
                 batch["shift"] = jnp.asarray(
-                    int(rng.integers(1, max(2, batch_size - 1)))
+                    int(rng.integers(0, max(1, batch_size - 1)))
                 )
             yield batch
         seed += 1

@@ -194,6 +194,17 @@ def trans_from_vibe(orig_cam: np.ndarray, joints3d: np.ndarray, use_z=True) -> n
     return trans - trans[0]
 
 
+def uestc_action_classes(datapath: str = "dataset/uestc"):
+    """index -> action-name map from info/action_classes.txt (reference
+    uestc.py:40-74), with an action_{i} fallback when the file is absent.
+    Shared by the dataset and the generate CLI's name resolution."""
+    classes_path = os.path.join(datapath, "info", "action_classes.txt")
+    if os.path.exists(classes_path):
+        with open(classes_path) as f:
+            return {i: line.strip() for i, line in enumerate(f) if line.strip()}
+    return {i: f"action_{i}" for i in range(UESTC.NUM_ACTIONS)}
+
+
 class UESTC(ActionMotionDataset):
     """UESTC VIBE-estimated poses: 40 actions, 118 subjects (51 train).
 
@@ -245,14 +256,7 @@ class UESTC(ActionMotionDataset):
         rotations = {v: rot_for(v) for v in range(8)}
 
         self.num_actions = self.NUM_ACTIONS
-        classes_path = os.path.join(datapath, "info", "action_classes.txt")
-        if os.path.exists(classes_path):
-            with open(classes_path) as f:
-                self._action_classes = {
-                    i: line.strip() for i, line in enumerate(f) if line.strip()
-                }
-        else:
-            self._action_classes = {i: f"action_{i}" for i in range(self.NUM_ACTIONS)}
+        self._action_classes = uestc_action_classes(datapath)
 
         for index, video in enumerate(videos):
             action, vview, subject, side = self.parse_name(video)

@@ -86,6 +86,10 @@ class BatchIterator:
                 )
             if not 0 <= rank < world:
                 raise ValueError(f"shard rank {rank} outside world {world}")
+            if not drop_last:
+                # A short final chunk cannot be row-sliced into equal
+                # per-process shards (and _batch_at would index past it).
+                raise ValueError("shard requires drop_last=True")
         self.shard = shard
         self.dataset = dataset
         self.batch_size = batch_size

@@ -137,8 +137,9 @@ def make_match_step(text_enc: TextEncoderBiGRUCo,
     backward/update, trainers.py:941-998).
 
     batch: word_embs [B,L,300], pos_onehot [B,L,15], cap_lens [B],
-    motions [B,T,D], m_lens [B], shift (scalar int in [1, B-1] — the
-    reference draws np.random.randint(0, B-1) on host per step).
+    motions [B,T,D], m_lens [B], shift (scalar int in [0, B-2] — the
+    reference draws np.random.randint(0, B-1) on host per step; shift 0
+    degenerates the negative pairs into the positives, kept as-is).
     The reference sorts by m_lens desc (pack_padded requirement) and
     aligns text; the shifted negative pairing depends on that order, so the
     same stable sort is applied here.

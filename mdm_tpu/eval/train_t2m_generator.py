@@ -170,8 +170,9 @@ def _vae_decoder_init(key, text_size, d_in, d_out, d_h, n_layers):
 
 
 def _conv_init(key, k, d_in, d_out):
-    p = _lin_init(key, k * d_in, d_out)  # xavier over the full receptive field
-    return {"kernel": p["kernel"].reshape(k, d_in, d_out),
+    # torch xavier on a conv weight [out, in, k]: fan_in = in*k,
+    # fan_out = out*k (the _xavier_normal 3-D branch).
+    return {"kernel": _xavier_normal(key, (k, d_in, d_out)),
             "bias": jnp.zeros((d_out,), jnp.float32)}
 
 
@@ -521,7 +522,11 @@ def train_comp_v6(
                 break
             val_losses = [float(val_step(params, b)["loss_gen"])
                           for b in make_batches(schedule_len, "val")]
-            val = float(np.mean(val_losses)) if val_losses else float("nan")
+            # Reference divides the sum by len(val_loader)+1 (trainers.py:
+            # 716-719) — the early-stop thresholds are absolute, so the
+            # divisor is part of the protocol.
+            val = (float(np.sum(val_losses)) / (len(val_losses) + 1)
+                   if val_losses else float("nan"))
             log(f"sl={schedule_len} sub_epoch={sub_epoch} it={it} "
                 f"train_loss={float(logs['loss_gen']):.5f} val={val:.5f}")
             if not np.isfinite(val):
