@@ -87,7 +87,7 @@ def main(argv=None):
             return {"text_embed": np.zeros((len(texts), model.config.text_dim), np.float32)}
         return embedder(texts)
 
-    eval_wrapper = EvaluatorWrapper(args.dataset, checkpoints_dir=".")
+    eval_wrapper = EvaluatorWrapper(args.dataset, checkpoints_dir=args.evaluator_dir)
 
     log_file = os.path.join(
         os.path.dirname(ckpt),

@@ -144,10 +144,24 @@ def main(argv=None):
     elif args.eval_during_training and args.dataset in ("humanact12", "uestc"):
         eval_fn = make_a2m_eval_during_training(args, model, data.dataset, num_frames)
 
+    batches = wrap_batches(data, model.config, goal_modifier)
+    if getattr(args, "cache_batches", 0) > 0:
+        # Upload N batches once and cycle them: removes the per-step H2D
+        # from the loop (small datasets, or dev links where host->device
+        # dominates). Not bit-compatible with the reshuffled stream.
+        import itertools
+
+        import jax as _jax
+
+        it = iter(batches)
+        batches = itertools.cycle(
+            [_jax.device_put(next(it)) for _ in range(args.cache_batches)]
+        )
+
     loop = TrainLoop(
         step,
         state,
-        wrap_batches(data, model.config, goal_modifier),
+        batches,
         LoopConfig(
             save_dir=args.save_dir, num_steps=args.num_steps,
             log_interval=args.log_interval, save_interval=args.save_interval,

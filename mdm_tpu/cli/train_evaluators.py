@@ -103,6 +103,9 @@ def main(argv=None):
     ap.add_argument("--coemb_dim", type=int, default=512)
     ap.add_argument("--num_len_buckets", type=int, default=50)
     ap.add_argument("--log_every", type=int, default=100)
+    ap.add_argument("--cache_batches", type=int, default=0,
+                    help="device-cache the first N batches and cycle them "
+                         "(small datasets / slow host links); 0 = off")
     ap.add_argument("--seed", type=int, default=0)
     # comp_v6 curriculum (CompTrainerV6.train, trainers.py:604-746)
     ap.add_argument("--tf_ratio", type=float, default=0.4)
@@ -181,6 +184,12 @@ def main(argv=None):
                           negative_margin=args.negative_margin)
     key = jax.random.PRNGKey(args.seed)
     batches = _batches(dataset, args.batch_size, args.stage, args.seed)
+    if args.cache_batches > 0:
+        import itertools
+
+        batches = itertools.cycle(
+            [jax.device_put(next(batches)) for _ in range(args.cache_batches)]
+        )
 
     if args.stage == "decomp":
         enc = MovementConvEncoder(hidden_size=args.movement_dim,

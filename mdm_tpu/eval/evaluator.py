@@ -39,9 +39,6 @@ class EvaluatorWrapper:
         motion_enc: Optional[MotionEncoderBiGRUCo] = None,
     ):
         dim_pose = 263 if dataset_name == "humanml" else 251
-        self.movement_enc = movement_enc or MovementConvEncoder(512, 512)
-        self.text_enc = text_enc or TextEncoderBiGRUCo(300, 15, 512, 512)
-        self.motion_enc = motion_enc or MotionEncoderBiGRUCo(512, 1024, 512)
         self.dim_pose = dim_pose
         self.degraded: Optional[str] = None  # set when a fallback fires
 
@@ -57,26 +54,59 @@ class EvaluatorWrapper:
                 from .train_evaluators import load_evaluator_params
 
                 params = load_evaluator_params(native)
-            else:
-                # Metric numbers are meaningless without the frozen
-                # evaluators; random init keeps smoke/dev runs alive.
-                print(f"WARNING: evaluator checkpoint {path} missing; random init "
-                      "(metrics will NOT be comparable to published numbers)")
-                self.degraded = "random-init-evaluator-encoders"
-                key = jax.random.PRNGKey(0)
-                params = {
-                    "movement": self.movement_enc.init(key, jnp.zeros((1, 8, dim_pose - 4))),
-                    "text": self.text_enc.init(
-                        key, jnp.zeros((1, 4, 300)), jnp.zeros((1, 4, 15)), jnp.array([4])
-                    ),
-                    "motion": self.motion_enc.init(
-                        key, jnp.zeros((1, 4, 512)), jnp.array([4])
-                    ),
-                }
+        if params is not None:
+            # Infer module dims from the loaded weights so self-trained
+            # encoders of ANY size (cli.train_evaluators --movement_dim/
+            # --coemb_dim) drive the protocol without manual module args.
+            inf_mov, inf_text, inf_mot = self._modules_from_params(params)
+            self.movement_enc = movement_enc or inf_mov
+            self.text_enc = text_enc or inf_text
+            self.motion_enc = motion_enc or inf_mot
+        else:
+            # Metric numbers are meaningless without the frozen evaluators;
+            # random init keeps smoke/dev runs alive.
+            self.movement_enc = movement_enc or MovementConvEncoder(512, 512)
+            self.text_enc = text_enc or TextEncoderBiGRUCo(300, 15, 512, 512)
+            self.motion_enc = motion_enc or MotionEncoderBiGRUCo(512, 1024, 512)
+            print(f"WARNING: evaluator checkpoint {path} missing; random init "
+                  "(metrics will NOT be comparable to published numbers)")
+            self.degraded = "random-init-evaluator-encoders"
+            key = jax.random.PRNGKey(0)
+            params = {
+                "movement": self.movement_enc.init(key, jnp.zeros((1, 8, dim_pose - 4))),
+                "text": self.text_enc.init(
+                    key, jnp.zeros((1, 4, 300)), jnp.zeros((1, 4, 15)), jnp.array([4])
+                ),
+                "motion": self.motion_enc.init(
+                    key, jnp.zeros((1, 4, 512)), jnp.array([4])
+                ),
+            }
         self.params = params
 
         self._embed_motion = jax.jit(self._embed_motion_impl)
         self._embed_text = jax.jit(self._embed_text_impl)
+
+    @staticmethod
+    def _modules_from_params(params):
+        """Module defs sized from the weight shapes (any encoder width)."""
+
+        def p(tree):
+            return tree.get("params", tree)
+
+        mov = p(params["movement"])
+        mov_hidden = int(np.shape(mov["conv1"]["kernel"])[2])
+        mov_out = int(np.shape(mov["conv2"]["kernel"])[2])
+        text = p(params["text"])
+        text_hidden = int(np.shape(text["input_emb"]["kernel"])[1])
+        coemb = int(np.shape(text["output_net"]["fc2"]["kernel"])[1])
+        mot = p(params["motion"])
+        mot_in = int(np.shape(mot["input_emb"]["kernel"])[0])
+        mot_hidden = int(np.shape(mot["input_emb"]["kernel"])[1])
+        return (
+            MovementConvEncoder(mov_hidden, mov_out),
+            TextEncoderBiGRUCo(300, 15, text_hidden, coemb),
+            MotionEncoderBiGRUCo(mot_in, mot_hidden, coemb),
+        )
 
     @staticmethod
     def load_torch_checkpoint(path: str) -> dict:

@@ -63,11 +63,52 @@ class BertTextEmbedder:
         return {"text_embed": hidden, "text_tokens_mask": mask}
 
 
+class HashTextEmbedder:
+    """Deterministic, asset-free text embedding (beyond-reference).
+
+    Each lowercase word maps to a fixed pseudo-random 512-d vector seeded by
+    a stable hash of the word; a caption embeds as the L2-normalized mean.
+    NOT semantically meaningful — distinct captions get distinct, reusable
+    embeddings, which is exactly what text-conditioned training needs when
+    the CLIP/BERT assets are unavailable: smoke runs, integration
+    rehearsals (scripts/synthetic_quality_rehearsal.py), and bootstrapping
+    a new dataset before converting a real encoder. Stable across processes
+    (zlib.crc32, not Python's randomized hash).
+    """
+
+    def __init__(self, dim: int = 512):
+        self.dim = dim
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def _word_vec(self, word: str) -> np.ndarray:
+        v = self._cache.get(word)
+        if v is None:
+            import zlib
+
+            rng = np.random.default_rng(zlib.crc32(word.encode()))
+            v = rng.normal(size=self.dim).astype(np.float32)
+            self._cache[word] = v
+        return v
+
+    def __call__(self, texts: List[str]) -> Dict[str, np.ndarray]:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, text in enumerate(texts):
+            words = [w for w in "".join(
+                c if c.isalnum() else " " for c in text.lower()).split() if w]
+            if not words:
+                continue
+            emb = np.mean([self._word_vec(w) for w in words], axis=0)
+            out[i] = emb / max(float(np.linalg.norm(emb)), 1e-8)
+        return {"text_embed": out}
+
+
 def make_text_embedder(
     encoder_type: str = "clip", assets_dir: Optional[str] = None
 ) -> Optional[Callable[[List[str]], Dict[str, np.ndarray]]]:
     """Build an embedder from converted-weight assets; None if absent."""
     assets_dir = assets_dir or DEFAULT_ASSETS
+    if encoder_type == "hash":
+        return HashTextEmbedder()
     try:
         import orbax.checkpoint as ocp
 

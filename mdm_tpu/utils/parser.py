@@ -48,7 +48,10 @@ def add_diffusion_options(parser):
 def add_model_options(parser):
     g = parser.add_argument_group("model")
     g.add_argument("--arch", default="trans_enc", choices=["trans_enc", "trans_dec", "gru"])
-    g.add_argument("--text_encoder_type", default="clip", choices=["clip", "bert"])
+    # 'hash': deterministic asset-free embeddings (beyond-reference; for
+    # smoke runs and new-dataset bootstrapping without CLIP/BERT weights).
+    g.add_argument("--text_encoder_type", default="clip",
+                   choices=["clip", "bert", "hash"])
     g.add_argument("--emb_trans_dec", default=False, type=lambda x: str(x).lower() == "true")
     g.add_argument("--emb_policy", default="add", choices=["add", "cat"])
     g.add_argument("--layers", default=8, type=int)
@@ -101,6 +104,11 @@ def add_training_options(parser):
     # as a ring buffer updated inside the jitted step.
     g.add_argument("--schedule_sampler", default="uniform",
                    choices=["uniform", "loss-second-moment"])
+    g.add_argument("--cache_batches", default=0, type=int,
+                   help="device-cache the first N collated batches and cycle "
+                        "them (beyond-reference; small datasets / slow host "
+                        "links). Deviates from per-epoch reshuffle; off by "
+                        "default")
     g.add_argument("--resume_checkpoint", default="", type=str)
     g.add_argument("--eval_during_training", action="store_true")
     g.add_argument("--eval_batch_size", default=32, type=int)
@@ -175,6 +183,9 @@ def add_evaluation_options(parser):
     # Comp_v6 `.tar` checkpoint and its sibling length-estimator checkpoint.
     g.add_argument("--t2m_baseline_path", default="", type=str)
     g.add_argument("--t2m_len_est_path", default="", type=str)
+    g.add_argument("--evaluator_dir", default=".", type=str,
+                   help="dir containing t2m/text_mot_match/model/finest.{tar,npy}"
+                        " (reference get_opt checkpoints_dir)")
 
 
 def get_cond_mode(args) -> str:

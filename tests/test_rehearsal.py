@@ -1,0 +1,35 @@
+"""Closed-loop rehearsal smoke: synthetic dataset -> evaluator training ->
+MDM training -> full eval protocol, all through the CLIs
+(scripts/synthetic_quality_rehearsal.py --smoke).
+
+The smoke model trains 40 steps (not enough to separate trained from
+untrained — the TPU run in docs/BENCHMARKS.md does that); what this test
+pins is that the whole chain composes and that the SELF-TRAINED metric
+encoders genuinely discriminate: ground-truth R-precision must be far
+above the 1/32 chance level, and every metric must be finite.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def test_rehearsal_smoke(tmp_path):
+    import synthetic_quality_rehearsal as sqr
+
+    results, sep = sqr.main(["--smoke", "--work_dir", str(tmp_path / "work")])
+    assert set(results) == {"trained", "untrained"}
+    for row in results.values():
+        for v in (row["matching"], row["FID"], row["Diversity"]):
+            assert np.isfinite(v)
+        assert len(row["R_precision_top123"]) == 3
+    # Self-trained evaluators must rank the matched caption far above the
+    # 1/32 = 0.031 chance rate on ground-truth pairs (top-3 chance 0.094).
+    gt_r3 = results["trained"]["R_precision_gt"][-1]
+    assert gt_r3 > 0.3, f"trained evaluators don't discriminate: R@3={gt_r3}"
+    assert results["trained"]["matching_gt"] < results["trained"]["matching"]
