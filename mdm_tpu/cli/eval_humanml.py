@@ -25,7 +25,8 @@ def main(argv=None):
 
     args = evaluation_args(argv)
     mode = args.eval_mode
-    replication_times = {"debug": 5, "wo_mm": 20, "mm_short": 5, "full": 20}[mode]
+    replication_times = (args.replications or
+                         {"debug": 5, "wo_mm": 20, "mm_short": 5, "full": 20}[mode])
     run_mm = mode in ("mm_short", "full")
 
     # Ground-truth loader (evaluator normalization) with GloVe vectorizer.

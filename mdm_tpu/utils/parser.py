@@ -186,6 +186,9 @@ def add_evaluation_options(parser):
     g.add_argument("--evaluator_dir", default=".", type=str,
                    help="dir containing t2m/text_mot_match/model/finest.{tar,npy}"
                         " (reference get_opt checkpoints_dir)")
+    g.add_argument("--replications", default=0, type=int,
+                   help="override the eval_mode's replication count "
+                        "(0 = mode default: debug 5 / wo_mm 20 / mm_short 5)")
 
 
 def get_cond_mode(args) -> str:

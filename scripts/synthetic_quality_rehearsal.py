@@ -212,7 +212,7 @@ def main(argv=None):
             "--model_path", ckpt, "--eval_mode", args.eval_mode,
             "--data_dir", root, "--evaluator_dir", work,
             "--guidance_param", "2.5",
-        ])
+        ] + (["--replications", "2"] if args.smoke else []))
         if summary is None:  # subprocess mode: read the CLI's summary json
             import glob
 

@@ -19,6 +19,7 @@ jax = pytest.importorskip("jax")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 
+@pytest.mark.slow
 def test_rehearsal_smoke(tmp_path):
     import synthetic_quality_rehearsal as sqr
 
