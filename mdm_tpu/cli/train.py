@@ -146,17 +146,11 @@ def main(argv=None):
 
     batches = wrap_batches(data, model.config, goal_modifier)
     if getattr(args, "cache_batches", 0) > 0:
-        # Upload N batches once and cycle them: removes the per-step H2D
-        # from the loop (small datasets, or dev links where host->device
-        # dominates). Not bit-compatible with the reshuffled stream.
-        import itertools
+        from ..data.loader import cache_device_batches
+        from ..parallel import shard_batch
 
-        import jax as _jax
-
-        it = iter(batches)
-        batches = itertools.cycle(
-            [_jax.device_put(next(it)) for _ in range(args.cache_batches)]
-        )
+        batches = cache_device_batches(batches, args.cache_batches,
+                                       put=shard_batch)
 
     loop = TrainLoop(
         step,

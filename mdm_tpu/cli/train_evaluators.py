@@ -185,11 +185,9 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     batches = _batches(dataset, args.batch_size, args.stage, args.seed)
     if args.cache_batches > 0:
-        import itertools
+        from ..data.loader import cache_device_batches
 
-        batches = itertools.cycle(
-            [jax.device_put(next(batches)) for _ in range(args.cache_batches)]
-        )
+        batches = cache_device_batches(batches, args.cache_batches)
 
     if args.stage == "decomp":
         enc = MovementConvEncoder(hidden_size=args.movement_dim,

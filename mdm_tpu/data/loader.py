@@ -257,6 +257,25 @@ class BatchIterator:
         return n
 
 
+def cache_device_batches(batches, n: int, put: Optional[Callable] = None):
+    """Materialize the first `n` batches on device and cycle them forever.
+
+    Removes the per-step host->device copy for small datasets or slow host
+    links (the --cache_batches CLI flag). `put` defaults to jax.device_put;
+    pass parallel.shard_batch so cached batches carry the training batch
+    sharding and the loop's per-step shard_batch is a no-op (device_put
+    alone would force a cross-device relayout every step on a multi-device
+    mesh). Deviates from the per-epoch reshuffled stream by design.
+    """
+    import itertools
+
+    import jax
+
+    put = put or jax.device_put
+    it = iter(batches)
+    return itertools.cycle([put(next(it)) for _ in range(n)])
+
+
 def get_dataset_loader(
     name: str,
     batch_size: int,

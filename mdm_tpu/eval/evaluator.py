@@ -55,13 +55,19 @@ class EvaluatorWrapper:
 
                 params = load_evaluator_params(native)
         if params is not None:
-            # Infer module dims from the loaded weights so self-trained
-            # encoders of ANY size (cli.train_evaluators --movement_dim/
-            # --coemb_dim) drive the protocol without manual module args.
-            inf_mov, inf_text, inf_mot = self._modules_from_params(params)
-            self.movement_enc = movement_enc or inf_mov
-            self.text_enc = text_enc or inf_text
-            self.motion_enc = motion_enc or inf_mot
+            if movement_enc and text_enc and motion_enc:
+                # Explicit modules: trust the caller's layout, no inference.
+                self.movement_enc = movement_enc
+                self.text_enc = text_enc
+                self.motion_enc = motion_enc
+            else:
+                # Infer module dims from the loaded weights so self-trained
+                # encoders of ANY size (cli.train_evaluators --movement_dim/
+                # --coemb_dim) drive the protocol without manual module args.
+                inf_mov, inf_text, inf_mot = self._modules_from_params(params)
+                self.movement_enc = movement_enc or inf_mov
+                self.text_enc = text_enc or inf_text
+                self.motion_enc = motion_enc or inf_mot
         else:
             # Metric numbers are meaningless without the frozen evaluators;
             # random init keeps smoke/dev runs alive.

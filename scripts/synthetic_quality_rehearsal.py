@@ -191,6 +191,13 @@ def main(argv=None):
     runs = {}
     for tag, steps in (("trained", n_steps), ("untrained", 1)):
         save_dir = os.path.join(work, f"save_{tag}")
+        # A stale run dir would be auto-RESUMED by TrainLoop (and could
+        # carry a different model config, or stale eval_*.json summaries
+        # that the glob below would pick up) — always start fresh.
+        if os.path.isdir(save_dir):
+            import shutil
+
+            shutil.rmtree(save_dir)
         run_cli("mdm_tpu.cli.train", train_cli.main, [
             "--save_dir", save_dir, "--overwrite", "--dataset", "humanml",
             "--data_dir", root, "--text_encoder_type", "hash",
