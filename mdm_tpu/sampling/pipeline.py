@@ -94,15 +94,27 @@ class MotionGenerator:
         over the data axis — generation and the eval protocol scale linearly
         with chip count (new capability; the reference is single-GPU). On a
         1-device mesh the annotations are skipped entirely (they cost per-call
-        relayout copies).
+        relayout copies). If the mesh also has a 'model' axis of size > 1,
+        params are Megatron-sharded per parallel/tp_rules.py instead of
+        replicated — tensor-parallel sampling, which cuts single-batch
+        latency (the serving case) by splitting every attention/FFN matmul
+        across chips with XLA-inserted all-reduces.
         """
         self.model = model
         self.params = params
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if self.mesh is not None:
-            from ..parallel.mesh import replicated
+            from ..parallel.mesh import MODEL_AXIS, replicated
 
-            self.params = jax.device_put(params, replicated(self.mesh))
+            if dict(self.mesh.shape).get(MODEL_AXIS, 1) > 1:
+                from ..parallel.tp_rules import param_shardings
+
+                self.params = jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, s),
+                    params, param_shardings(params, self.mesh),
+                )
+            else:
+                self.params = jax.device_put(params, replicated(self.mesh))
         self.sched = sched
         self.config = config
         if config.cfg_cache_interval > 1 and config.sampler not in ("ddpm", "ddim"):
