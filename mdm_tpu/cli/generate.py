@@ -278,7 +278,11 @@ def main(argv=None):
                                       dataset=args.dataset, fps=fps)
                 print(f"rendered {path}")
         # Tiled grid, 3 samples (rows) x all repetitions (columns) per file
-        # (reference save_multiple_samples, generate.py:253-280).
+        # (reference save_multiple_samples, generate.py:253-280). Cells are
+        # re-animated rather than composited from the per-sample mp4s: the
+        # reference composites with moviepy/ffmpeg, which this build
+        # deliberately does not require — the grid costs one extra render
+        # pass of the same frames (host-side, offline viz only).
         for s0 in range(0, B, 3):
             s1 = min(s0 + 3, B)
             cells, titles = [], []

@@ -38,11 +38,21 @@ def main(argv=None):
 
     make_mesh_for_batch(args.batch_size)
     num_frames = 196 if args.dataset in ("humanml", "kit") else args.num_frames
+    import jax
+
+    # Multi-host: each process builds ONLY its row range of every global
+    # batch (identical global order on all hosts — batches are pure
+    # functions of seed/epoch/position); shard_batch assembles the global
+    # array from the local shards. Without this, every host would feed the
+    # same full batch as if it were a local shard (duplicated rows).
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
     data = get_dataset_loader(
         args.dataset, args.batch_size, num_frames=num_frames,
         data_root=args.data_dir or None,
         fixed_len=args.context_len + args.pred_len,
         pred_len=args.pred_len,
+        shard=shard,
     )
     num_actions = getattr(data.dataset, "num_actions", 1)
     model, sched = create_model_and_schedule(args, num_actions)

@@ -125,18 +125,23 @@ class BatchIterator:
             chunks.append(chunk)
         return chunks
 
-    def _make_batch(self, indices, rng):
+    def _make_batch(self, indices, rng, rows=None, target_batch_size=None):
         # Per-sample augmentation substreams (spawned, so row r's draws are
         # independent of rows 0..r-1): this is what makes multi-host shards
-        # bit-equal to the corresponding rows of the unsharded batch.
+        # bit-equal to the corresponding rows of the unsharded batch
+        # (child i of rng.spawn(n) is the same regardless of n, so spawning
+        # over the GLOBAL row count and slicing `rows` matches exactly).
         subs = rng.spawn(len(indices))
-        samples = [
-            self.dataset.sample(int(i), sub) for i, sub in zip(indices, subs)
-        ]
+        if rows is None:
+            rows = range(len(indices))
+        samples = [self.dataset.sample(int(indices[r]), subs[r]) for r in rows]
         if self.pred_len > 0:
             batch = collate_prefix(samples, self.pred_len)
         else:
-            batch = collate_batch(samples, target_batch_size=self.batch_size)
+            batch = collate_batch(
+                samples,
+                target_batch_size=target_batch_size or self.batch_size,
+            )
         if self.text_embedder is not None and "text" in batch:
             # Embedders may dispatch device work; keep those calls serial
             # even when worker threads build batches.
@@ -149,22 +154,14 @@ class BatchIterator:
         if self.shard is None:
             return self._make_batch(chunk, rng)
         # Multi-host: build the FULL global batch's sample list only for the
-        # local row range. Per-sample augmentation rngs must match the
-        # unsharded stream, so each sample draws from its own (seed-derived)
-        # substream indexed by global row.
+        # local row range (same spawn order as unsharded).
         rank, world = self.shard
         local = self.batch_size // world
-        rows = range(rank * local, (rank + 1) * local)
-        subs = rng.spawn(self.batch_size)  # same spawn order as unsharded
-        samples = [self.dataset.sample(int(chunk[r]), subs[r]) for r in rows]
-        if self.pred_len > 0:
-            batch = collate_prefix(samples, self.pred_len)
-        else:
-            batch = collate_batch(samples, target_batch_size=local)
-        if self.text_embedder is not None and "text" in batch:
-            with self._embed_lock:
-                batch.update(self.text_embedder(batch["text"]))
-        return batch
+        return self._make_batch(
+            chunk, rng,
+            rows=range(rank * local, (rank + 1) * local),
+            target_batch_size=local,
+        )
 
     def batches_per_epoch(self) -> int:
         return len(self._epoch_chunks(0))
@@ -284,6 +281,7 @@ def get_dataset_loader(
     hml_mode: str = "train",
     fixed_len: int = 0,
     pred_len: int = 0,
+    shard: Optional[tuple] = None,
     **kwargs,
 ) -> BatchIterator:
     dataset = get_dataset(
@@ -296,4 +294,5 @@ def get_dataset_loader(
         shuffle=(split == "train" or hml_mode == "train"),
         infinite=(hml_mode == "train"),
         pred_len=pred_len if fixed_len > 0 else 0,
+        shard=shard,
     )

@@ -133,6 +133,11 @@ def shard_batch(tree, mesh: Optional[Mesh] = None):
     def put(x):
         if x is None:
             return None
+        if isinstance(x, jax.Array) and x.sharding == sh:
+            # Already laid out (e.g. cache_device_batches re-fed through the
+            # loop) — a no-op, and under multi-process the np.asarray below
+            # would crash on a global (non-fully-addressable) array.
+            return x
         if multiproc:
             return jax.make_array_from_process_local_data(sh, np.asarray(x))
         return jax.device_put(x, sh)
