@@ -375,3 +375,52 @@ class TestMultiHostSharding:
             BatchIterator(ds, 5, shard=(0, 2))
         with pytest.raises(ValueError, match="rank"):
             BatchIterator(ds, 4, shard=(2, 2))
+        with pytest.raises(ValueError, match="drop_last"):
+            BatchIterator(ds, 4, shard=(0, 2), drop_last=False)
+
+
+class TestCacheAndShardHelpers:
+    def test_cache_device_batches_cycles_device_arrays(self):
+        import itertools
+
+        import jax
+        import jax.numpy as jnp
+
+        from mdm_tpu.data.loader import cache_device_batches
+
+        src = ({"x": np.full((2, 3), i, np.float32)} for i in range(10))
+        cyc = cache_device_batches(src, 3)
+        got = [next(cyc) for _ in range(7)]
+        for i, b in enumerate(got):
+            assert isinstance(b["x"], jax.Array)
+            np.testing.assert_array_equal(np.asarray(b["x"]),
+                                          np.full((2, 3), i % 3))
+
+    def test_shard_batch_idempotent(self):
+        """Re-applying shard_batch to an already-sharded batch returns the
+        arrays unchanged (the device-cached-batch loop contract)."""
+        import jax.numpy as jnp
+
+        from mdm_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        b = {"x": jnp.ones((8, 4))}
+        b1 = shard_batch(b, mesh)
+        b2 = shard_batch(b1, mesh)
+        assert b2["x"] is b1["x"]
+
+    def test_hash_text_embedder_deterministic_and_distinct(self):
+        from mdm_tpu.sampling.text import HashTextEmbedder, make_text_embedder
+
+        emb = make_text_embedder("hash")
+        assert isinstance(emb, HashTextEmbedder)
+        a = emb(["a person walks forward", "a person spins quickly"])
+        b = HashTextEmbedder()(["a person walks forward",
+                                "a person spins quickly"])
+        np.testing.assert_array_equal(a["text_embed"], b["text_embed"])
+        assert a["text_embed"].shape == (2, 512)
+        # distinct captions -> distinct directions; same caption -> same
+        d = float(np.dot(a["text_embed"][0], a["text_embed"][1]))
+        assert abs(d) < 0.9
+        np.testing.assert_allclose(
+            np.linalg.norm(a["text_embed"], axis=1), 1.0, atol=1e-5)
