@@ -33,6 +33,11 @@ class PredictorConfig:
     # ODE solver cuts per-request latency ~5x at 20 respaced steps)
     sampler: str = "ddpm"
     cfg_cache_interval: int = 1
+    # >1: Megatron-shard the denoiser over a 'model' mesh axis of this size
+    # (parallel/tp_rules.py) — cuts single-request latency on multi-chip
+    # hosts, where DP can't help a batch-of-1. Requires device count
+    # divisible by the value.
+    tensor_parallel: int = 1
 
 
 class Predictor:
@@ -76,12 +81,18 @@ class Predictor:
             params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
 
         sched = Schedule.create("cosine", cfg.num_diffusion_steps, cfg.respacing)
+        mesh = None
+        if cfg.tensor_parallel > 1:
+            from .parallel import make_mesh
+
+            mesh = make_mesh(model_parallel=cfg.tensor_parallel)
         self.generator = MotionGenerator(
             self.model, params, sched,
             GenerationConfig(guidance_scale=cfg.guidance_scale,
                              sampler=cfg.sampler,
                              cfg_cache_interval=cfg.cfg_cache_interval),
             cfg.dataset,
+            mesh=mesh,
         )
         self.embedder = make_text_embedder(cfg.text_encoder_type)
         self._cond0 = cond0

@@ -58,3 +58,27 @@ def test_predictor_hik_output(monkeypatch):
     out = p.predict("a person waves", motion_length_sec=0.5, seed=2,
                     output_format="hik")
     assert "thetas" in out and "root_translation" in out and "joint_map" in out
+
+
+def test_predictor_tensor_parallel():
+    """tensor_parallel=2 serves through a Megatron-sharded denoiser on the
+    virtual mesh with the same numerics as the unsharded predictor."""
+    base = PredictorConfig(
+        num_diffusion_steps=20, respacing="5", max_frames=24,
+        latent_dim=32, layers=2, compute_dtype="float32",
+    )
+    p1 = Predictor(base)
+    p1.setup()
+    ref = np.asarray(p1.predict("a person waves", motion_length_sec=1.0,
+                                seed=5)["joints"][0])
+
+    import dataclasses
+
+    p2 = Predictor(dataclasses.replace(base, tensor_parallel=2))
+    p2.setup()
+    out = np.asarray(p2.predict("a person waves", motion_length_sec=1.0,
+                                seed=5)["joints"][0])
+    from mdm_tpu.parallel import make_mesh
+
+    make_mesh(model_parallel=1)  # restore default mesh for later tests
+    np.testing.assert_allclose(out, ref, atol=2e-4)
