@@ -140,5 +140,21 @@ def test_tensor_parallel_sampling_matches_single_device():
     qk = gen_tp.params["params"]["seqTransEncoder"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
     assert "model" in str(qk.sharding.spec)
     out = np.asarray(gen_tp.sample_features(cond, Bs, Ts, jax.random.PRNGKey(1)))
+
+    # The DiP autoregressive scan also runs through the TP-sharded params.
+    cfg_ar = GenerationConfig(guidance_scale=1.0, context_len=4, pred_len=4)
+    cond_ar = cond.replace(
+        frames_mask=jnp.ones((Bs, 4), bool),
+        prefix=jnp.zeros((Bs, 4, D), jnp.float32),
+    )
+    ar_base = np.asarray(
+        MotionGenerator(model, params, sched, cfg_ar, "humanml")
+        .sample_autoregressive(cond_ar, Bs, jax.random.PRNGKey(2),
+                               required_frames=8))
+    ar_tp = np.asarray(
+        MotionGenerator(model, params, sched, cfg_ar, "humanml", mesh=mesh_tp)
+        .sample_autoregressive(cond_ar, Bs, jax.random.PRNGKey(2),
+                               required_frames=8))
     make_mesh(model_parallel=1)  # restore default mesh for later tests
     np.testing.assert_allclose(out, baseline, atol=2e-4)
+    np.testing.assert_allclose(ar_tp, ar_base, atol=2e-4)
