@@ -268,7 +268,32 @@ def main():
     )
 
 
+def _backend_alive(timeout_s: float = 120.0) -> bool:
+    """Probe `jax.devices()` in a killable subprocess: a wedged axon tunnel
+    hangs forever inside backend init instead of raising, which would leave
+    the driver with no bench line at all."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "sec_per_sample_50step", "value": None,
+            "unit": "s/sample", "vs_baseline": None,
+            "error": "accelerator backend unreachable (tunnel down); "
+                     "see BENCH_r02.json for the last good measurement",
+        }))
+        sys.exit(0)
     if "--scaling" in sys.argv:
         scaling_main()
     elif "--quality" in sys.argv:
