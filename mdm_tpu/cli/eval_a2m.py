@@ -75,7 +75,7 @@ def main(argv=None):
     )
 
     ev = A2MEvaluation(clf, clf_params, config=A2MEvalConfig(num_classes=num_actions))
-    num_seeds = {"debug": 2}.get(args.eval_mode, 20)
+    num_seeds = getattr(args, "replications", 0) or {"debug": 2}.get(args.eval_mode, 20)
     summary = evaluate_multi_seed(make_loaders, ev, num_seeds=num_seeds)
     # Stamp degraded runs (random-init classifier) as non-comparable.
     summary["comparable"] = not degraded
