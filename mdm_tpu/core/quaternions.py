@@ -158,6 +158,11 @@ def euler_to_quaternion(e: jnp.ndarray, order: str, deg: bool = True) -> jnp.nda
     result = None
     for axis in order:
         result = axis_quats[axis] if result is None else qmul(result, axis_quats[axis])
+    # Reference euler2quat flips the antipodal representation for these
+    # orders (quaternion.py:209-211) — same rotation, but bit-level parity
+    # of components matters for sign-continuity (qfix) over mixed data.
+    if order in ("xyz", "yzx", "zxy"):
+        result = -result
     return result
 
 

@@ -82,6 +82,10 @@ def quaternion_invert(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def quaternion_apply(q: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+    # Deliberately NOT aliased to quaternions.qrot: this is the PyTorch3D
+    # cross-product form (reference rotation_conversions.py), qrot is the
+    # reference quaternion.py form — different float op orders, and each
+    # module's parity oracle pins its own reference file.
     qw = q[..., :1]
     qv = q[..., 1:]
     uv = jnp.cross(qv, point)

@@ -4,9 +4,10 @@ Mirrors the capability of the reference `data_loaders/humanml/common/skeleton.py
 (Skeleton.forward_kinematics / _cont6d / inverse_kinematics_np) with a
 TPU-first design:
 
-- FK is a *static unroll over a precomputed topological order* (njoints is
-  22/21, known at trace time), all joints at a tree level processed as one
-  batched op. No in-place writes, no Python chain bookkeeping inside jit.
+- FK is a *static unroll over the kinematic chains* (njoints is 22/21,
+  known at trace time) — per-chain accumulation from the root quaternion,
+  reproducing the reference's per-chain quirk exactly. No in-place writes,
+  no dynamic Python bookkeeping inside jit.
 - Semantics match the reference exactly: the global rotation of joint j
   includes j's own local rotation and the bone offset of j is rotated by that
   accumulated rotation (skeleton.py:117-126 in the reference).
@@ -71,24 +72,6 @@ def parents_from_chains(chains: Sequence[Sequence[int]], njoints: int) -> np.nda
     return parents
 
 
-def topological_order(parents: np.ndarray) -> List[int]:
-    """Joint order such that every parent precedes its children (root excluded)."""
-    order: List[int] = []
-    placed = {0}
-    remaining = [j for j in range(1, len(parents)) if parents[j] >= 0]
-    while remaining:
-        progressed = False
-        for j in list(remaining):
-            if parents[j] in placed:
-                order.append(j)
-                placed.add(j)
-                remaining.remove(j)
-                progressed = True
-        if not progressed:  # pragma: no cover - malformed tree
-            raise ValueError("kinematic tree has a cycle")
-    return order
-
-
 @dataclass(frozen=True)
 class Skeleton:
     """Static skeleton description. All fields are host constants; FK methods
@@ -97,12 +80,10 @@ class Skeleton:
     raw_offsets: np.ndarray  # [J, 3] unit bone directions
     chains: Tuple[Tuple[int, ...], ...]
     parents: np.ndarray = field(init=False)
-    order: Tuple[int, ...] = field(init=False)
 
     def __post_init__(self):
         parents = parents_from_chains(self.chains, len(self.raw_offsets))
         object.__setattr__(self, "parents", parents)
-        object.__setattr__(self, "order", tuple(topological_order(parents)))
 
     @property
     def njoints(self) -> int:

@@ -38,7 +38,7 @@ def masked_l2(
     """
     loss = loss_fn(a, b) * mask.astype(a.dtype)
     loss = G.sum_flat(loss)
-    non_zero = G.sum_flat(jnp.broadcast_to(mask.astype(a.dtype), mask.shape))
+    non_zero = G.sum_flat(mask.astype(a.dtype))
     if entries_norm:
         n_entries = 1
         for d in a.shape[1:]:
@@ -100,6 +100,9 @@ class LossConfig:
     # gaussian_diffusion.py:1337 slices off the last joint). In the flat
     # [B, T, D] layout that is the last `nfeats` features (6 for a2m rot6d).
     vel_drop_last_feats: int = 0
+    # RESCALED_MSE's vb scaling (reference :1286-1289). MDM's factory pins
+    # plain MSE, so this stays False there.
+    rescale_vb: bool = False
 
 
 def training_losses(
@@ -121,6 +124,25 @@ def training_losses(
     for rcxyz / vel_rcxyz / fc terms.
     target_loss_fn: model_output -> per-sample goal loss (DiP target cond).
     """
+    terms: Dict[str, jnp.ndarray] = {}
+    if config.var_type in (VarType.LEARNED, VarType.LEARNED_RANGE):
+        # Learned sigma: the model emits 2D channels; the variance half
+        # trains through the variational bound with the mean FROZEN
+        # (reference gaussian_diffusion.py:1269-1289).
+        D = x_t.shape[-1]
+        assert model_output.shape[-1] == 2 * D, (
+            f"learned variance needs 2x{D} output channels, "
+            f"got {model_output.shape[-1]}"
+        )
+        model_output, model_var_values = jnp.split(model_output, 2, axis=-1)
+        vb, _ = G.vb_terms_bpd(
+            sched, jax.lax.stop_gradient(model_output), x_start, x_t, t,
+            mean_type=config.mean_type, var_type=config.var_type,
+            model_var_values=model_var_values, clip_denoised=False,
+        )
+        terms["vb"] = vb * (sched.num_timesteps / 1000.0
+                            if config.rescale_vb else 1.0)
+
     if config.mean_type == MeanType.PREVIOUS_X:
         target, _, _ = G.q_posterior_mean_variance(sched, x_start, x_t, t)
     elif config.mean_type == MeanType.START_X:
@@ -128,7 +150,6 @@ def training_losses(
     else:
         target = noise
 
-    terms: Dict[str, jnp.ndarray] = {}
     terms["rot_mse"] = masked_l2(target, model_output, mask)
 
     target_xyz = pred_xyz = None
@@ -168,6 +189,7 @@ def training_losses(
 
     terms["loss"] = (
         terms["rot_mse"]
+        + terms.get("vb", 0.0)
         + config.lambda_vel * terms.get("vel_mse", 0.0)
         + config.lambda_rcxyz * terms.get("rcxyz_mse", 0.0)
         + config.lambda_vel_rcxyz * terms.get("vel_xyz_mse", 0.0)

@@ -71,9 +71,15 @@ def _step_noise(key, x, const_noise: bool):
 
 def _p_mean_variance_step(
     sched, model_fn, cond_fn, cfg: SamplerConfig, x, t,
-    inpainting_mask, inpainted_motion, model_state=None,
+    inpainting_mask, inpainted_motion, model_state=None, force_score=False,
 ):
-    """Returns PMeanVariance (stateless) or (PMeanVariance, new_model_state)."""
+    """Returns PMeanVariance (stateless) or (PMeanVariance, new_model_state).
+
+    `force_score`: the ddim/plms/dpmpp callers pass True — the reference's
+    ddim_sample/plms_sample ALWAYS apply condition_score when a cond_fn is
+    given (gaussian_diffusion.py:753-756, 1024-1031); guidance_mode only
+    selects mean-vs-score conditioning for the ancestral sampler.
+    """
     if model_state is not None:
         model_out, model_state = model_fn(x, sched.model_timesteps(t), model_state)
     else:
@@ -84,7 +90,7 @@ def _p_mean_variance_step(
         clip_denoised=cfg.clip_denoised,
         inpainting_mask=inpainting_mask, inpainted_motion=inpainted_motion,
     )
-    if cond_fn is not None and cfg.guidance_mode == "score":
+    if cond_fn is not None and (force_score or cfg.guidance_mode == "score"):
         out = G.condition_score(sched, cond_fn(x, sched.model_timesteps(t)), out, x, t)
     if model_state is not None:
         return out, model_state
@@ -170,7 +176,7 @@ def ddim_sample_loop(
         t = jnp.full((B,), i, dtype=jnp.int32)
         res = _p_mean_variance_step(
             sched, model_fn, cond_fn, config, x, t, inpainting_mask,
-            inpainted_motion, mstate,
+            inpainted_motion, mstate, force_score=True,
         )
         out, mstate = res if mstate is not None else (res, mstate)
         eps = G.predict_eps_from_xstart(sched, x, t, out.pred_xstart)
@@ -246,7 +252,8 @@ def plms_sample_loop(
 
     def model_eps(x, t):
         out = _p_mean_variance_step(
-            sched, model_fn, cond_fn, config, x, t, inpainting_mask, inpainted_motion
+            sched, model_fn, cond_fn, config, x, t, inpainting_mask,
+            inpainted_motion, force_score=True,
         )
         eps = G.predict_eps_from_xstart(sched, x, t, out.pred_xstart)
         return eps, out
@@ -340,7 +347,7 @@ def dpmpp_2m_sample_loop(
         t = jnp.full((B,), i, dtype=jnp.int32)
         res = _p_mean_variance_step(
             sched, model_fn, cond_fn, config, x, t, inpainting_mask,
-            inpainted_motion, mstate,
+            inpainted_motion, mstate, force_score=True,
         )
         out, mstate = res if mstate is not None else (res, mstate)
         return out.pred_xstart, mstate
@@ -370,11 +377,11 @@ def dpmpp_2m_sample_loop(
         return (x_next, d_cur, i_prev, i_next, mstate), None
 
     if n > 2:
-        (x, d_last, _, i_last, model_state), _ = jax.lax.scan(
+        (x, _, _, i_last, model_state), _ = jax.lax.scan(
             step, (x, d0, i0, indices[1], model_state), indices[2:]
         )
     else:
-        d_last, i_last = d0, indices[1]
+        i_last = indices[1]
 
     # Final step to clean data: evaluate at the last timestep and take x0.
     d_final, _ = pred_x0(x, i_last, model_state)

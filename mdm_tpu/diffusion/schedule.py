@@ -209,8 +209,9 @@ class Schedule:
         acp = np.cumprod(1.0 - base_betas)
         last_alpha_cumprod = 1.0
         new_betas, tmap = [], []
+        use = set(use_timesteps)
         for i in range(len(base_betas)):
-            if i in set(use_timesteps):
+            if i in use:
                 new_betas.append(1.0 - acp[i] / last_alpha_cumprod)
                 last_alpha_cumprod = acp[i]
                 tmap.append(i)

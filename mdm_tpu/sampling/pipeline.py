@@ -343,6 +343,12 @@ class MotionGenerator:
 
     def features_to_joints(self, feats: jnp.ndarray) -> jnp.ndarray:
         """Denormalize + decode hml_vec features to joints [B, T, J, 3]."""
+        if self.mean is None:
+            raise ValueError(
+                "features_to_joints needs hml_vec norm stats; this generator "
+                f"was built for data_rep={self.model.config.data_rep!r} "
+                "without norm_stats (a2m/rot6d models decode via rot2xyz)"
+            )
         return self._to_joints_jit(feats)
 
     def generate(
@@ -376,13 +382,15 @@ def in_between_mask(
 ) -> np.ndarray:
     """Temporal inpainting mask [B, T, D]: True = keep ground truth.
 
-    Keeps frames before 0.25*len and after 0.75*len (reference edit.py:78-85).
+    Reference edit.py:79-85 starts from an ALL-True mask and clears only
+    [prefix_end*len, suffix_start*len): everything else — prefix, suffix,
+    AND the zero-padding frames past each sample's length — keeps GT, so
+    the model never free-generates beyond a sample's true length.
     """
     B = len(lengths)
-    mask = np.zeros((B, num_frames, feat_dim), dtype=bool)
+    mask = np.ones((B, num_frames, feat_dim), dtype=bool)
     for i, L in enumerate(lengths):
-        mask[i, : int(L * prefix_end)] = True
-        mask[i, int(L * suffix_start) : L] = True
+        mask[i, int(L * prefix_end) : int(L * suffix_start)] = False
     return mask
 
 

@@ -99,11 +99,13 @@ class TestQuaternions:
             atol=1e-3,
         )
         e = (RNG.uniform(-0.9, 0.9, size=(9, 3)) * 90).astype(np.float32)
-        np.testing.assert_allclose(
-            np.asarray(Q.euler_to_quaternion(jnp.asarray(e), "yxz", deg=True)),
-            ref.euler2quat(torch.from_numpy(e), "yxz", deg=True).numpy(),
-            atol=1e-5,
-        )
+        # incl. the antipodal-flip orders (reference quaternion.py:209-211)
+        for order in ["yxz", "xyz", "yzx", "zxy", "zyx"]:
+            np.testing.assert_allclose(
+                np.asarray(Q.euler_to_quaternion(jnp.asarray(e), order, deg=True)),
+                ref.euler2quat(torch.from_numpy(e), order, deg=True).numpy(),
+                atol=1e-5, err_msg=f"order={order}",
+            )
 
     def test_expmap_to_quaternion(self, ref):
         e = (RNG.normal(size=(11, 3)) * 1.5).astype(np.float32)

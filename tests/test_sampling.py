@@ -111,6 +111,16 @@ class TestGenerate:
                 err_msg=f"sampler={sampler}",
             )
 
+    def test_in_between_mask_reference_semantics(self):
+        """Reference edit.py:79-85: all-True start, cleared ONLY in
+        [prefix_end*L, suffix_start*L) — padding frames past each sample's
+        length keep GT (never free-generated)."""
+        mask = in_between_mask(np.array([12]), 16, 3)
+        assert mask[0, :3].all()          # prefix: int(0.25*12) = 3
+        assert not mask[0, 3:9].any()     # edit window [3, 9)
+        assert mask[0, 9:12].all()        # suffix
+        assert mask[0, 12:].all()         # zero-padding stays GT
+
     def test_upper_body_mask_shape(self):
         m = upper_body_mask(10, 3)
         assert m.shape == (3, 10, 263)
