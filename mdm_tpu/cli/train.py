@@ -66,17 +66,27 @@ def main(argv=None):
         data.text_embedder = text_embedder
 
     target_loss_builder = None
+    target_cond_fn = None
     goal_modifier = None
     if getattr(args, "lambda_target_loc", 0.0) > 0 and args.dataset == "humanml":
-        from ..train.goal_cond import goal_cond_modifier, make_target_loss_builder
+        from ..train.goal_cond import (
+            goal_cond_modifier,
+            make_target_cond_fn,
+            make_target_loss_builder,
+        )
 
         mean, std = data.dataset.mean, data.dataset.std
         target_loss_builder = make_target_loss_builder(mean, std)
+        target_cond_fn = make_target_cond_fn(mean, std)
         goal_rng = np.random.default_rng(args.seed + 1)
 
         def goal_modifier(b):
+            # compute_target=False: GT target extraction happens inside the
+            # jitted step (no per-batch host->device round-trip).
             return goal_cond_modifier(
-                b, goal_rng, mean, std, force_joints=args.target_joint_names or None
+                b, goal_rng, mean, std,
+                force_joints=args.target_joint_names or None,
+                compute_target=False,
             )
 
     # Init params from one example batch.
@@ -125,6 +135,7 @@ def main(argv=None):
     step = make_train_step(
         model.apply, sched, config, get_xyz=get_xyz,
         target_loss_builder=target_loss_builder,
+        target_cond_fn=target_cond_fn if target_loss_builder else None,
     )
     if config.schedule_sampler == "loss-second-moment":
         # The loss-aware step threads a sampler-state (per-timestep loss
@@ -398,6 +409,9 @@ def batch_to_conditioning(batch, model_config):
         kw["prefix"] = jnp.asarray(batch["prefix"])
     if "target_cond" in batch:
         kw["target_cond"] = jnp.asarray(batch["target_cond"])
+    if "target_validity" in batch:
+        # May arrive WITHOUT target_cond: the train step then extracts the
+        # GT targets in-graph (make_train_step(target_cond_fn=...)).
         kw["target_validity"] = jnp.asarray(batch["target_validity"])
     return Conditioning(frames_mask=jnp.asarray(batch["mask"]), **kw)
 

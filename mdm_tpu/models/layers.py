@@ -156,14 +156,18 @@ class TransformerEncoderLayer(nn.Module):
             compute_dtype=self.compute_dtype, name="self_attn",
         )(x, x, x, attn_bias=padding_bias, deterministic=deterministic)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
+        # dtype threads compute_dtype through LN + FFN: without it the f32
+        # params promote activations back to f32 and the FFN matmuls (half
+        # the layer's FLOPs) silently miss the bf16 MXU path.
+        cdt = self.compute_dtype
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=cdt)(x + attn)
 
-        h = nn.Dense(self.ff_size, name="linear1")(x)
+        h = nn.Dense(self.ff_size, name="linear1", dtype=cdt)(x)
         h = self.activation(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, name="linear2", dtype=cdt)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=cdt)(x + h)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -185,21 +189,22 @@ class TransformerDecoderLayer(nn.Module):
             compute_dtype=self.compute_dtype, name="self_attn",
         )(tgt, tgt, tgt, attn_bias=tgt_bias, deterministic=deterministic)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + attn)
+        cdt = self.compute_dtype  # see encoder layer: keep LN+FFN in bf16
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=cdt)(tgt + attn)
 
         cross = MultiHeadAttention(
             self.num_heads, self.d_model, self.dropout,
             compute_dtype=self.compute_dtype, name="multihead_attn",
         )(tgt, memory, memory, attn_bias=memory_bias, deterministic=deterministic)
         cross = nn.Dropout(self.dropout)(cross, deterministic=deterministic)
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + cross)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=cdt)(tgt + cross)
 
-        h = nn.Dense(self.ff_size, name="linear1")(tgt)
+        h = nn.Dense(self.ff_size, name="linear1", dtype=cdt)(tgt)
         h = self.activation(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, name="linear2", dtype=cdt)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3", dtype=cdt)(tgt + h)
 
 
 class TransformerEncoder(nn.Module):

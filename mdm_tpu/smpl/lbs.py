@@ -78,6 +78,12 @@ JOINT_SET_INDEXES: Dict[str, np.ndarray] = {
 }
 
 
+def _root_to_minus1(parents: np.ndarray) -> np.ndarray:
+    parents = parents.copy()
+    parents[0] = -1
+    return parents
+
+
 @dataclass(frozen=True)
 class SMPLModel:
     """Static SMPL model tensors (host numpy; traced as constants)."""
@@ -128,7 +134,10 @@ class SMPLModel:
             shapedirs=dense(data["shapedirs"])[..., :num_betas].astype(np.float32),
             posedirs=posedirs.astype(np.float32),
             j_regressor=dense(data["J_regressor"]).astype(np.float32),
-            parents=np.asarray(data["kintree_table"][0], dtype=np.int64).clip(min=-1)
+            # kintree_table is uint32 with 2**32-1 as the root sentinel —
+            # a clip(min=-1) after int64 cast would keep 4294967295; set
+            # the root explicitly to -1 (smplx convention).
+            parents=_root_to_minus1(np.asarray(data["kintree_table"][0], np.int64))
             if "kintree_table" in data
             else np.asarray(data["parents"], dtype=np.int64),
             lbs_weights=dense(data["weights"]).astype(np.float32),

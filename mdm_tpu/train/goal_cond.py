@@ -27,19 +27,44 @@ def goal_cond_modifier(
     std: np.ndarray,
     joints_num: int = 22,
     force_joints: Optional[str] = None,
+    compute_target: bool = True,
 ) -> Dict:
-    """Attach target_cond/target_validity to a host batch (GT targets)."""
+    """Attach goal fields to a host batch (GT targets).
+
+    compute_target=False samples only validity/is_heading (pure numpy) and
+    leaves the target extraction to the jitted train step
+    (make_train_step(target_cond_fn=...)): the eager extraction here costs
+    a full-batch H2D plus a blocking pull per batch, serializing the input
+    pipeline against the step — the CLI training path always defers.
+    """
     B = batch["x"].shape[0]
     validity, is_heading = sample_goal(B, rng, force_joints=force_joints)
-    target = get_target_location(
-        jnp.asarray(batch["x"]), jnp.asarray(mean), jnp.asarray(std),
-        joints_num, validity=jnp.asarray(validity),
-    )
     batch = dict(batch)
-    batch["target_cond"] = np.asarray(target)
+    if compute_target:
+        target = get_target_location(
+            jnp.asarray(batch["x"]), jnp.asarray(mean), jnp.asarray(std),
+            joints_num, validity=jnp.asarray(validity),
+        )
+        batch["target_cond"] = np.asarray(target)
     batch["target_validity"] = validity
     batch["is_heading"] = is_heading
     return batch
+
+
+def make_target_cond_fn(
+    mean: np.ndarray, std: np.ndarray, joints_num: int = 22
+) -> Callable:
+    """fn(x_start, validity) -> GT targets, for in-graph extraction inside
+    the jitted train step (no host round-trip per batch)."""
+    mean_c = jnp.asarray(mean)
+    std_c = jnp.asarray(std)
+
+    def fn(x_start, validity):
+        return get_target_location(
+            x_start, mean_c, std_c, joints_num, validity=validity
+        )
+
+    return fn
 
 
 def make_target_loss_builder(

@@ -140,17 +140,21 @@ class TrainLoop:
                     tracing = False
                     print(f"profiler trace written to {cfg.profile_trace_dir}")
 
-                if step % cfg.log_interval == 0:
+                if step % cfg.log_interval == 0 or step == cfg.num_steps:
                     # ONE device sync per log window. device_get on the whole
                     # pytree also waits for every step in the window, so the
                     # steps_per_sec below is an honest end-to-end number.
+                    # A final partial window (num_steps not a multiple, or a
+                    # resume mid-window) flushes too, with the REAL window
+                    # length in the rate — not cfg.log_interval.
                     host = jax.device_get(acc)
                     for k, v in host.items():
                         self.logger.logkv(k, float(v) / acc_n)
+                    window = acc_n
                     acc = None
                     acc_n = 0
                     self.logger.logkv("step", step)
-                    sps = cfg.log_interval / max(time.time() - t_last, 1e-9)
+                    sps = window / max(time.time() - t_last, 1e-9)
                     self.logger.logkv("steps_per_sec", sps)
                     if batch_size:
                         self.logger.logkv("samples_per_sec", sps * batch_size)

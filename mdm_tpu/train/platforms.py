@@ -32,12 +32,21 @@ class NoPlatform(TrainPlatform):
 class TensorboardPlatform(TrainPlatform):
     def __init__(self, save_dir: str, **kwargs):
         super().__init__(save_dir)
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-
-            self.writer = SummaryWriter(log_dir=save_dir)
-        except Exception:
-            self.writer = None
+        # Prefer the torch-free writer; torch's SummaryWriter is the
+        # documented fallback (the one sanctioned torch use outside tests/
+        # converters — see CLAUDE.md conventions), degrading to no-op.
+        self.writer = None
+        for importer in (
+            lambda: __import__("tensorboardX").SummaryWriter,
+            lambda: __import__(
+                "torch.utils.tensorboard", fromlist=["SummaryWriter"]
+            ).SummaryWriter,
+        ):
+            try:
+                self.writer = importer()(log_dir=save_dir)
+                break
+            except Exception:
+                continue
 
     def report_scalar(self, name, value, iteration, group_name=""):
         if self.writer:

@@ -73,6 +73,7 @@ def make_train_step(
     *,
     get_xyz: Optional[Callable] = None,
     target_loss_builder: Optional[Callable] = None,
+    target_cond_fn: Optional[Callable] = None,
     use_shardings: bool = True,
     state_shardings: Optional[Any] = None,
 ):
@@ -92,7 +93,15 @@ def make_train_step(
         cond: Conditioning = batch["cond"]
         B = x_start.shape[0]
 
-        key_t, key_noise, key_drop, key_dropout = jax.random.split(key, 4)
+        if (target_cond_fn is not None and cond.target_validity is not None
+                and cond.target_cond is None):
+            # In-graph GT target extraction (goal_cond.make_target_cond_fn):
+            # keeps the host pipeline free of per-batch device round-trips.
+            cond = cond.replace(
+                target_cond=target_cond_fn(x_start, cond.target_validity))
+            batch = dict(batch, cond=cond)
+
+        key_t, key_noise, key_drop, key_tdrop, key_dropout = jax.random.split(key, 5)
         key_dropout = _dropout_key(key_dropout, config.dropout_rng_impl)
         if loss_aware:
             t, weights = loss_aware_sample_t(key_t, sampler_state, B)
@@ -104,6 +113,13 @@ def make_train_step(
         if config.cond_mask_prob > 0:
             drop = jax.random.bernoulli(key_drop, config.cond_mask_prob, (B,))
             cond = cond.replace(cond_drop=drop, frames_mask=mask)
+            if cond.target_cond is not None:
+                # The reference applies mask_cond to the target embedding
+                # too, with an INDEPENDENT bernoulli draw (mdm.py:199 via
+                # mask_cond:153-161 under self.training) — required for
+                # target-uncond sampling/eval of trained DiP models.
+                cond = cond.replace(target_uncond=jax.random.bernoulli(
+                    key_tdrop, config.cond_mask_prob, (B,)))
         else:
             cond = cond.replace(frames_mask=mask)
 

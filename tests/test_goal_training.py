@@ -113,3 +113,65 @@ def test_geometric_losses_with_smpl_in_train_step():
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     for k in ("rcxyz_mse", "fc", "vel_mse"):
         assert k in metrics and np.isfinite(float(metrics[k])), k
+
+
+def test_deferred_target_extraction_matches_precomputed():
+    """compute_target=False + make_train_step(target_cond_fn=...) must give
+    the SAME step metrics as the eager host-side extraction (the CLI path
+    defers to keep the input pipeline free of device round-trips)."""
+    from mdm_tpu.train.goal_cond import make_target_cond_fn
+
+    make_mesh()
+    G = len(extended_goal_names())
+    cfg = MDMConfig(njoints=D, nfeats=1, latent_dim=32, ff_size=64, num_layers=2,
+                    num_heads=4, multi_target_cond=True, num_goal_joints=G - 2)
+    model = MDM(cfg)
+    mean, std = load_norm_stats("humanml")
+
+    raw = {
+        "x": np.random.default_rng(1).normal(size=(B, T, D)).astype(np.float32),
+        "mask": np.ones((B, T), bool),
+    }
+    eager = goal_cond_modifier(dict(raw), np.random.default_rng(3), mean, std)
+    lazy = goal_cond_modifier(dict(raw), np.random.default_rng(3), mean, std,
+                              compute_target=False)
+    assert "target_cond" not in lazy
+    np.testing.assert_array_equal(eager["target_validity"],
+                                  lazy["target_validity"])
+
+    text = np.random.default_rng(2).normal(size=(B, 512)).astype(np.float32)
+
+    def build(batch_raw, with_target):
+        kw = dict(
+            frames_mask=jnp.asarray(batch_raw["mask"]),
+            text_embed=jnp.asarray(text),
+            target_validity=jnp.asarray(batch_raw["target_validity"]),
+        )
+        if with_target:
+            kw["target_cond"] = jnp.asarray(batch_raw["target_cond"])
+        return Conditioning(**kw)
+
+    cond_e = build(eager, True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(raw["x"]),
+                        jnp.zeros((B,), jnp.int32), cond_e)["params"]
+    sched = Schedule.create("cosine", 20)
+    config = TrainStepConfig(loss=LossConfig(lambda_target_loc=1.0),
+                             optim=OptimConfig(lr=1e-3), cond_mask_prob=0.1)
+
+    def run(cond, target_cond_fn):
+        step = make_train_step(
+            model.apply, sched, config,
+            target_loss_builder=make_target_loss_builder(mean, std),
+            target_cond_fn=target_cond_fn,
+        )
+        state = create_train_state(params, config.optim)
+        batch = {"x": jnp.asarray(raw["x"]), "mask": jnp.asarray(raw["mask"]),
+                 "cond": cond}
+        _, metrics = step(state, batch, jax.random.PRNGKey(5))
+        return {k: float(v) for k, v in metrics.items()}
+
+    m_eager = run(cond_e, None)
+    m_lazy = run(build(lazy, False), make_target_cond_fn(mean, std))
+    for k in ("loss", "target_loc", "rot_mse"):
+        np.testing.assert_allclose(m_lazy[k], m_eager[k], rtol=1e-5,
+                                   err_msg=k)
