@@ -80,6 +80,19 @@ def main(argv=None):
             cond = cond0.replace(
                 **{k: jnp.asarray(v) for k, v in embedder(texts).items()}
             )
+        else:
+            # No encoder assets: the captions CANNOT condition the model, so
+            # running CFG at full scale would just pay 2x for the difference
+            # of two unconditioned passes against a zero embedding. Fall to
+            # guidance 0 loudly instead of recording captions that were
+            # never used.
+            print(
+                "WARNING: text encoder unavailable "
+                f"({args.text_encoder_type!r}); editing unconditioned "
+                "(guidance 0) — requested captions ignored"
+            )
+            texts = None
+            guidance = 0.0
     else:
         guidance = 0.0
 

@@ -138,8 +138,21 @@ def main(argv=None):
             prefix0 = jnp.asarray(dataset_prefix)
         else:
             prefix0 = jnp.zeros((B, model.config.context_len, model.config.input_feats))
+    # Dataset prompts condition the model on each clip's REAL length via the
+    # frame mask (reference collate builds y['mask'] from y['lengths'],
+    # data_loaders/tensors.py:3-6,48 — sampling sees it through model_kwargs);
+    # synthetic prompts fill n_frames. The AR/prefix path manages its own
+    # per-chunk masks inside the sampler.
+    if (dataset_lengths is not None and not args.autoregressive
+            and not model.config.is_prefix_comp):
+        dataset_lengths = np.minimum(np.asarray(dataset_lengths), n_frames)
+        frames_mask0 = jnp.arange(n_frames)[None, :] < jnp.asarray(
+            dataset_lengths[:B]
+        )[:, None]
+    else:
+        frames_mask0 = jnp.ones((B, n_frames), bool)
     cond0 = Conditioning(
-        frames_mask=jnp.ones((B, n_frames), bool),
+        frames_mask=frames_mask0,
         text_embed=(jnp.zeros((B, model.config.text_dim))
                     if "text" in model.config.cond_mode else None),
         action=action_idx,
@@ -185,6 +198,15 @@ def main(argv=None):
             cond = cond0.replace(**{k: jnp.asarray(v) for k, v in embeds.items()})
     else:
         cond = cond0
+        if "text" in model.config.cond_mode:
+            # No encoder assets for a text-conditioned model: CFG against
+            # the zero embedding is just 2x-cost unconditioned sampling.
+            print(
+                "WARNING: text encoder unavailable "
+                f"({args.text_encoder_type!r}); sampling unconditioned "
+                "(guidance 1) — prompts only label the outputs"
+            )
+            args.guidance_param = 1.0
 
     from ..sampling.pipeline import dataset_norm_stats
 
@@ -271,11 +293,20 @@ def main(argv=None):
                 m[L:-1] = m[L - 1]
             return m
 
+        # Prefix-completion context frames render in the GT (blue) color
+        # scheme so a viewer can tell given motion from generated motion
+        # (reference generate.py:241-244; AR strips the prefix, so no marks).
+        gt_frames = (
+            np.arange(model.config.context_len)
+            if model.config.is_prefix_comp and not args.autoregressive
+            else ()
+        )
         for ri in range(args.num_repetitions):
             for si in range(B):
                 path = os.path.join(out_dir, f"sample{si:02d}_rep{ri:02d}.mp4")
                 path = plot_3d_motion(path, cell(si, ri), title=all_text[ri * B + si],
-                                      dataset=args.dataset, fps=fps)
+                                      dataset=args.dataset, fps=fps,
+                                      gt_frames=gt_frames)
                 print(f"rendered {path}")
         # Tiled grid, 3 samples (rows) x all repetitions (columns) per file
         # (reference save_multiple_samples, generate.py:253-280). Cells are
@@ -293,7 +324,7 @@ def main(argv=None):
             grid = os.path.join(out_dir, f"samples_{s0:02d}_to_{s1 - 1:02d}.mp4")
             grid = plot_3d_motion_grid(
                 grid, cells, titles, ncols=args.num_repetitions,
-                dataset=args.dataset, fps=fps,
+                dataset=args.dataset, fps=fps, gt_frames=gt_frames,
             )
             print(f"rendered {grid}")
     except Exception as e:

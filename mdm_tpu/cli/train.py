@@ -201,13 +201,16 @@ def make_eval_during_training(args, model, text_embedder):
     Requires the frozen evaluator checkpoint (t2m/text_mot_match/model/
     finest.tar); degrades to a no-op with a warning when the asset is absent.
     """
+    import glob
     import os
 
+    evaluator_dir = getattr(args, "evaluator_dir", ".") or "."
     ckpt = os.path.join(
+        evaluator_dir,
         "t2m" if args.dataset == "humanml" else args.dataset,
         "text_mot_match", "model", "finest.tar",
     )
-    if not os.path.exists(ckpt):
+    if not glob.glob(os.path.splitext(ckpt)[0] + ".*"):
         print(f"eval_during_training: evaluator checkpoint {ckpt} missing; skipping")
         return None
 
@@ -248,8 +251,16 @@ def make_eval_during_training(args, model, text_embedder):
                 GenerationConfig(guidance_scale=args.gen_guidance_param),
                 args.dataset,
             )
+            # Built once too: constructing it per call re-reads the frozen
+            # checkpoint AND re-jits both embedder networks every
+            # save_interval (per-instance jit of bound methods never hits
+            # the trace cache).
+            cache["wrapper"] = EvaluatorWrapper(
+                args.dataset, checkpoints_dir=evaluator_dir
+            )
         gt_batches = cache["gt_batches"]
         gen = cache["gen"]
+        wrapper = cache["wrapper"]
         gen.params = {
             "params": state.ema_params if state.ema_params is not None else state.params
         }
@@ -259,7 +270,6 @@ def make_eval_during_training(args, model, text_embedder):
                 return {"text_embed": np.zeros((len(texts), model.config.text_dim), np.float32)}
             return text_embedder(texts)
 
-        wrapper = EvaluatorWrapper(args.dataset, checkpoints_dir=".")
         summary = evaluation(
             wrapper,
             gt_loader_fn=lambda: iter(gt_batches),

@@ -115,6 +115,10 @@ def add_training_options(parser):
     g.add_argument("--eval_split", default="test", choices=["val", "test"])
     g.add_argument("--eval_rep_times", default=3, type=int)
     g.add_argument("--eval_num_samples", default=1000, type=int)
+    g.add_argument("--evaluator_dir", default=".", type=str,
+                   help="dir containing t2m/text_mot_match/model/finest.{tar,npy}"
+                        " for --eval_during_training (reference get_opt"
+                        " checkpoints_dir)")
     g.add_argument("--gen_during_training", action="store_true")
     g.add_argument("--gen_num_samples", default=3, type=int)
     g.add_argument("--gen_num_repetitions", default=2, type=int)
