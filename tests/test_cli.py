@@ -614,3 +614,73 @@ def test_train_cli_loss_aware_sampler(tmp_path, synthetic_humanml, monkeypatch):
     assert any(f.startswith("ckpt_") for f in os.listdir(save_dir))
     with open(os.path.join(save_dir, "args.json")) as f:
         assert json.load(f)["schedule_sampler"] == "loss-second-moment"
+
+
+def test_no_encoder_fallbacks(tmp_path, synthetic_humanml, monkeypatch, capsys):
+    """When text-encoder assets are absent, a text-conditioned model must not
+    run CFG against the zero embedding (that is 2x-cost unconditioned
+    sampling): generate falls to guidance 1 with prompts kept only as output
+    labels; edit drops the requested captions and falls to guidance 0
+    (reference behavior needs the encoder present, sample/generate.py:96-100,
+    so this degradation path is ours — it must be loud and coherent)."""
+    import mdm_tpu.sampling.text as text_mod
+    from mdm_tpu.cli import edit as edit_cli
+    from mdm_tpu.cli import generate as gen_cli
+    from mdm_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "run")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "humanml",
+        "--data_dir", synthetic_humanml,
+        "--batch_size", "8", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1",
+    ])
+    ckpt = os.path.join(
+        save_dir, sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))[-1]
+    )
+    monkeypatch.setattr(text_mod, "make_text_embedder", lambda *a, **k: None)
+
+    out1 = str(tmp_path / "gen_noenc")
+    gen_cli.main([
+        "--model_path", ckpt, "--text_prompt", "a person walks",
+        "--num_samples", "2", "--num_repetitions", "1",
+        "--motion_length", "0.5", "--output_dir", out1, "--seed", "3",
+    ])
+    assert "text encoder unavailable" in capsys.readouterr().out
+    r1 = np.load(os.path.join(out1, "results.npy"), allow_pickle=True).item()
+    assert np.isfinite(r1["motion"]).all()
+    assert list(r1["text"]) == ["a person walks"] * 2  # labels survive
+
+    out2 = str(tmp_path / "edit_noenc")
+    edit_cli.main([
+        "--model_path", ckpt, "--data_dir", synthetic_humanml,
+        "--num_samples", "2", "--text_condition", "a person jumps",
+        "--output_dir", out2, "--seed", "5",
+    ])
+    assert "text encoder unavailable" in capsys.readouterr().out
+    r2 = np.load(os.path.join(out2, "results.npy"), allow_pickle=True).item()
+    assert list(r2["text"]) == ["", ""]  # captions were never used -> not recorded
+    assert np.isfinite(r2["motion"]).all()
+
+
+def test_make_eval_during_training_evaluator_dir(tmp_path):
+    """--evaluator_dir points in-training t2m eval at the frozen-evaluator
+    tree (reference get_opt checkpoints_dir); both finest.tar (torch) and
+    finest.npy (our evaluator-training output) must be accepted, and a
+    missing checkpoint degrades to a no-op (None)."""
+    from types import SimpleNamespace
+
+    from mdm_tpu.cli.train import make_eval_during_training
+
+    args = SimpleNamespace(dataset="humanml", evaluator_dir=str(tmp_path))
+    assert make_eval_during_training(args, None, None) is None
+
+    d = tmp_path / "t2m" / "text_mot_match" / "model"
+    d.mkdir(parents=True)
+    (d / "finest.npy").write_bytes(b"")
+    assert make_eval_during_training(args, None, None) is not None
+
+    (d / "finest.npy").rename(d / "finest.tar")
+    assert make_eval_during_training(args, None, None) is not None
