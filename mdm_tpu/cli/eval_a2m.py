@@ -68,8 +68,10 @@ def main(argv=None):
     # translation row, stgcn_eval.py:58-60); HumanAct12's GRU consumes xyz
     # (degrades to raw features when the SMPL asset is absent).
     feature_input, clf, clf_params, degraded = build_feature_and_classifier(
-        args.dataset, num_actions, num_frames, model.config.input_feats
+        args.dataset, num_actions, num_frames, model.config.input_feats,
+        classifier_path=getattr(args, "a2m_classifier_path", ""),
     )
+    self_trained = bool(getattr(args, "a2m_classifier_path", ""))
     make_loaders = make_a2m_loaders_factory(
         dataset, gen, B, num_frames, feature_input
     )
@@ -77,8 +79,13 @@ def main(argv=None):
     ev = A2MEvaluation(clf, clf_params, config=A2MEvalConfig(num_classes=num_actions))
     num_seeds = getattr(args, "replications", 0) or {"debug": 2}.get(args.eval_mode, 20)
     summary = evaluate_multi_seed(make_loaders, ev, num_seeds=num_seeds)
-    # Stamp degraded runs (random-init classifier) as non-comparable.
-    summary["comparable"] = not degraded
+    # Stamp runs that don't use the reference's frozen classifier as
+    # non-comparable to the published tables: random-init (degraded) or
+    # self-trained (functional, but a different metric model).
+    summary["comparable"] = not degraded and not self_trained
+    summary["classifier"] = ("self-trained" if self_trained
+                             else "random-init" if degraded
+                             else "reference-frozen")
     if degraded:
         summary["degraded_reasons"] = ["random-init-a2m-classifier"]
 

@@ -18,6 +18,14 @@ any torch checkpoint.
                    the VAE seq2seq; writes a params .npy that
                    `T2MBaselineGenerator`/`t2m_generate` load directly
                    (the eval CLI's `--t2m_baseline_path`).
+
+  --stage a2m_classifier  the action2motion GRU recognition model the a2m
+                   protocol scores with (the reference only ships it frozen,
+                   assets/actionrecognition/*.tar; eval/a2m/gru_eval.py:22-40
+                   loads, never trains). Trains on SMPL xyz when the SMPL
+                   asset is present, else on the raw rot6d features (recorded
+                   in the saved .npy so eval uses the same representation);
+                   the eval CLI loads it via `--a2m_classifier_path`.
 """
 from __future__ import annotations
 
@@ -62,6 +70,71 @@ def _batches(dataset, batch_size, stage, seed=0):
         seed += 1
 
 
+def _train_a2m_classifier(args):
+    """--stage a2m_classifier: GRU action classifier for the a2m protocol.
+
+    Trains on the exact representation the a2m eval scores on — SMPL xyz
+    when the asset is present (eval/a2m/gru_eval.py feeds batch['output_xyz'])
+    or raw rot6d features otherwise — and records the choice in the saved
+    .npy so `--a2m_classifier_path` evals reconstruct the same pipeline.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import BatchIterator, get_dataset
+    from ..eval.a2m_setup import make_a2m_feature_input
+    from ..eval.classifiers import MotionDiscriminator
+    from ..eval.train_evaluators import (
+        EvalTrainConfig,
+        make_a2m_classifier_step,
+        run_training,
+        save_evaluator_params,
+    )
+
+    num_frames = 60
+    dataset = get_dataset(args.dataset, num_frames=num_frames,
+                          data_root=args.data_dir or None)
+    try:
+        feature_input, feature = make_a2m_feature_input(args.dataset), "xyz"
+    except FileNotFoundError as e:
+        print(f"a2m_classifier: SMPL asset missing ({e}); training on raw "
+              "rot6d features")
+        feature_input, feature = (lambda feats: jnp.asarray(feats)), "raw"
+    feat_dim = dataset.sample(0, np.random.default_rng(0))["motion"].shape[-1]
+    probe = feature_input(np.zeros((1, num_frames, feat_dim), np.float32))
+    input_size = int(probe.shape[-1])
+
+    def batches(seed=args.seed):
+        while True:
+            it = BatchIterator(dataset, args.batch_size, shuffle=True,
+                               seed=seed, infinite=False)
+            for b in it:
+                yield {
+                    "x": feature_input(b["x"]),
+                    "lengths": jnp.asarray(np.asarray(b["lengths"], np.int32)),
+                    "y": jnp.asarray(np.asarray(b["action"], np.int32)),
+                }
+            seed += 1
+
+    clf = MotionDiscriminator(input_size, 128, 2, dataset.num_actions)
+    init, step = make_a2m_classifier_step(
+        clf, input_size, num_frames, EvalTrainConfig(lr=args.lr))
+    bb = batches()
+    if args.cache_batches > 0:
+        from ..data.loader import cache_device_batches
+
+        bb = cache_device_batches(bb, args.cache_batches)
+    params, _ = run_training(init, step, bb, args.num_steps,
+                             jax.random.PRNGKey(args.seed),
+                             log_every=args.log_every)
+    save_evaluator_params(args.save_path, {
+        "params": params, "input_size": input_size, "feature": feature,
+        "num_actions": dataset.num_actions,
+    })
+    print(f"saved {args.save_path}")
+
+
 def main(argv=None):
     import argparse
 
@@ -88,8 +161,10 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
-                    choices=["decomp", "match", "length", "comp_v6"])
-    ap.add_argument("--dataset", default="humanml", choices=["humanml", "kit"])
+                    choices=["decomp", "match", "length", "comp_v6",
+                             "a2m_classifier"])
+    ap.add_argument("--dataset", default="humanml",
+                    choices=["humanml", "kit", "humanact12", "uestc"])
     ap.add_argument("--data_dir", default="")
     ap.add_argument("--glove_dir", default="glove")
     ap.add_argument("--save_path", required=True)
@@ -117,6 +192,14 @@ def main(argv=None):
     ap.add_argument("--max_batches", type=int, default=0,
                     help="cap batches per (length, split) pass; 0 = all")
     args = ap.parse_args(argv)
+
+    if args.stage == "a2m_classifier":
+        assert args.dataset in ("humanact12", "uestc"), \
+            "--stage a2m_classifier needs an action dataset"
+        _train_a2m_classifier(args)
+        return
+    assert args.dataset in ("humanml", "kit"), \
+        f"--stage {args.stage} needs a t2m dataset"
 
     dim_pose = 263 if args.dataset == "humanml" else 251
     w_vec = None

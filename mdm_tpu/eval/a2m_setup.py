@@ -71,7 +71,8 @@ def build_a2m_classifier(
 
 
 def build_feature_and_classifier(
-    dataset_name: str, num_actions: int, num_frames: int, input_feats: int
+    dataset_name: str, num_actions: int, num_frames: int, input_feats: int,
+    classifier_path: str = "",
 ) -> Tuple[Callable, object, dict, bool]:
     """(feature_input, clf, clf_params, degraded) with graceful degradation.
 
@@ -79,7 +80,28 @@ def build_feature_and_classifier(
     missing, fall back to classifying the raw rot6d features with a
     random-init GRU so the protocol still runs end-to-end — stamped
     degraded/non-comparable by every caller.
+
+    `classifier_path` loads a SELF-TRAINED GRU classifier (.npy from
+    `train_evaluators --stage a2m_classifier`) instead of the converted
+    reference checkpoint; the saved blob records which representation it
+    was trained on (xyz vs raw rot6d) and the eval reconstructs the same
+    pipeline. Functional (not random-init), but still non-comparable to
+    the published tables, which use the reference's frozen classifier.
     """
+    if classifier_path:
+        from .classifiers import MotionDiscriminator
+        from .train_evaluators import load_evaluator_params
+
+        blob = load_evaluator_params(classifier_path)
+        assert int(blob.get("num_actions", num_actions)) == num_actions, \
+            (classifier_path, blob.get("num_actions"), num_actions)
+        clf = MotionDiscriminator(int(blob["input_size"]), 128, 2, num_actions)
+        if blob["feature"] == "xyz":
+            feature_input = make_a2m_feature_input(dataset_name)
+        else:
+            feature_input = lambda feats: feats  # noqa: E731
+        return feature_input, clf, blob["params"], False
+
     clf, clf_params, degraded = build_a2m_classifier(
         dataset_name, num_actions, num_frames
     )

@@ -245,6 +245,53 @@ def make_length_est_step(estimator: MotionLenEstimatorBiGRU,
 
 
 # ---------------------------------------------------------------------------
+# a2m action classifier
+# ---------------------------------------------------------------------------
+
+def make_a2m_classifier_step(classifier, input_size: int, num_frames: int,
+                             config: EvalTrainConfig = EvalTrainConfig()):
+    """Cross-entropy trainer for the a2m GRU MotionDiscriminator.
+
+    Capability port of the action2motion recognition training the reference
+    consumes as frozen checkpoints (assets/actionrecognition/*.tar — the
+    reference never ships the trainer, eval/a2m/gru_eval.py:22-40 only
+    loads): lets a user produce the a2m protocol's classifier for a NEW
+    dataset without torch. One fused jitted step; logs loss + batch
+    accuracy.
+    """
+    tx = optax.adam(config.lr)
+
+    def loss_fn(params, batch):
+        out = classifier.apply(params, batch["x"], batch["lengths"])
+        labels = batch["y"]
+        loss = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(out["yhat"], labels)
+        )
+        acc = jnp.mean((jnp.argmax(out["yhat"], axis=-1) == labels)
+                       .astype(jnp.float32))
+        return loss, {"loss": loss, "acc": acc}
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch
+        )
+        grads_c = _clip_per_network({"clf": grads}, config.grad_clip)["clf"]
+        updates, opt_state = tx.update(grads_c, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, logs
+
+    def init(key):
+        params = classifier.init(
+            key, jnp.zeros((1, num_frames, input_size)),
+            jnp.array([num_frames]),
+        )
+        return params, tx.init(params)
+
+    return init, step
+
+
+# ---------------------------------------------------------------------------
 # Host loops + persistence
 # ---------------------------------------------------------------------------
 

@@ -193,6 +193,11 @@ def add_evaluation_options(parser):
     g.add_argument("--replications", default=0, type=int,
                    help="override the eval_mode's replication count "
                         "(0 = mode default: debug 5 / wo_mm 20 / mm_short 5)")
+    g.add_argument("--a2m_classifier_path", default="", type=str,
+                   help="self-trained a2m classifier .npy (train_evaluators "
+                        "--stage a2m_classifier) instead of the converted "
+                        "reference checkpoint; functional but stamped "
+                        "non-comparable to published tables")
 
 
 def get_cond_mode(args) -> str:
