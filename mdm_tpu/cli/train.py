@@ -55,14 +55,31 @@ def main(argv=None):
         shard=shard,
     )
     num_actions = getattr(data.dataset, "num_actions", 1)
-    model, sched = create_model_and_schedule(args, num_actions)
 
-    # Text embedding happens on host once per batch (frozen encoder); attach.
+    # Text embedding happens on host once per batch (frozen encoder). The
+    # embedder is resolved BEFORE model creation: when CLIP/BERT assets are
+    # absent we fall back to the deterministic hash embedder and record
+    # `text_encoder_type=hash` in args.json, so generate/edit rebuild the
+    # identical embedder and captions genuinely condition the trained model
+    # (the reference always has the encoder importable, model/mdm.py:140;
+    # asset-free environments are ours to handle coherently).
     text_embedder = None
     if args.cond_mode == "text":
         from ..sampling.text import make_text_embedder
 
         text_embedder = make_text_embedder(args.text_encoder_type)
+        if text_embedder is None:
+            print(
+                "WARNING: text encoder assets unavailable "
+                f"({args.text_encoder_type!r}); training on deterministic "
+                "hash embeddings (text_encoder_type=hash recorded in "
+                "args.json) — NOT semantically meaningful, smoke/dev only"
+            )
+            args.text_encoder_type = "hash"
+            text_embedder = make_text_embedder("hash")
+
+    model, sched = create_model_and_schedule(args, num_actions)
+    if text_embedder is not None:
         data.text_embedder = text_embedder
 
     target_loss_builder = None

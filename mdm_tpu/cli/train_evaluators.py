@@ -19,13 +19,16 @@ any torch checkpoint.
                    `T2MBaselineGenerator`/`t2m_generate` load directly
                    (the eval CLI's `--t2m_baseline_path`).
 
-  --stage a2m_classifier  the action2motion GRU recognition model the a2m
-                   protocol scores with (the reference only ships it frozen,
+  --stage a2m_classifier  the action recognition model the a2m protocol
+                   scores with (the reference only ships them frozen,
                    assets/actionrecognition/*.tar; eval/a2m/gru_eval.py:22-40
-                   loads, never trains). Trains on SMPL xyz when the SMPL
-                   asset is present, else on the raw rot6d features (recorded
-                   in the saved .npy so eval uses the same representation);
-                   the eval CLI loads it via `--a2m_classifier_path`.
+                   loads, never trains). humanact12: GRU on SMPL xyz when
+                   the SMPL asset is present, else on raw rot6d features;
+                   uestc: STGCN on rot6d (the protocol's own architecture,
+                   stgcn_eval.py:58-60). Representation + architecture are
+                   recorded in the saved .npy so eval reconstructs the same
+                   pipeline; the eval CLI loads it via
+                   `--a2m_classifier_path`.
 """
 from __future__ import annotations
 
@@ -71,19 +74,25 @@ def _batches(dataset, batch_size, stage, seed=0):
 
 
 def _train_a2m_classifier(args):
-    """--stage a2m_classifier: GRU action classifier for the a2m protocol.
+    """--stage a2m_classifier: the action classifier the a2m protocol
+    scores with, per dataset (reference ships both only frozen):
 
-    Trains on the exact representation the a2m eval scores on — SMPL xyz
-    when the asset is present (eval/a2m/gru_eval.py feeds batch['output_xyz'])
-    or raw rot6d features otherwise — and records the choice in the saved
-    .npy so `--a2m_classifier_path` evals reconstruct the same pipeline.
+    - humanact12: GRU MotionDiscriminator on SMPL xyz when the SMPL asset
+      is present (eval/a2m/gru_eval.py feeds batch['output_xyz']), else on
+      the raw rot6d feature vectors.
+    - uestc: STGCN on rot6d [B,T,24,6] — the protocol's own architecture
+      and representation (eval/a2m/stgcn_eval.py:58-60); no SMPL needed.
+
+    The representation AND architecture (arch/hidden_size/hidden_layers)
+    are recorded in the saved .npy so `--a2m_classifier_path` evals
+    reconstruct the identical pipeline.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ..data import BatchIterator, get_dataset
-    from ..eval.a2m_setup import make_a2m_feature_input
+    from ..eval.a2m_setup import StgcnAdapter, make_a2m_feature_input
     from ..eval.classifiers import MotionDiscriminator
     from ..eval.train_evaluators import (
         EvalTrainConfig,
@@ -95,15 +104,18 @@ def _train_a2m_classifier(args):
     num_frames = 60
     dataset = get_dataset(args.dataset, num_frames=num_frames,
                           data_root=args.data_dir or None)
-    try:
-        feature_input, feature = make_a2m_feature_input(args.dataset), "xyz"
-    except FileNotFoundError as e:
-        print(f"a2m_classifier: SMPL asset missing ({e}); training on raw "
-              "rot6d features")
-        feature_input, feature = (lambda feats: jnp.asarray(feats)), "raw"
+    hidden_size, hidden_layers = 128, 2
+    if args.dataset == "uestc":
+        feature_input, feature = make_a2m_feature_input("uestc"), "rot6d"
+    else:
+        try:
+            feature_input, feature = make_a2m_feature_input(args.dataset), "xyz"
+        except FileNotFoundError as e:
+            print(f"a2m_classifier: SMPL asset missing ({e}); training on "
+                  "raw rot6d features")
+            feature_input, feature = (lambda feats: jnp.asarray(feats)), "raw"
     feat_dim = dataset.sample(0, np.random.default_rng(0))["motion"].shape[-1]
     probe = feature_input(np.zeros((1, num_frames, feat_dim), np.float32))
-    input_size = int(probe.shape[-1])
 
     def batches(seed=args.seed):
         while True:
@@ -117,9 +129,20 @@ def _train_a2m_classifier(args):
                 }
             seed += 1
 
-    clf = MotionDiscriminator(input_size, 128, 2, dataset.num_actions)
+    if feature == "rot6d":
+        from ..eval.stgcn import STGCN, STGCNConfig
+
+        input_size, arch = int(probe.shape[-1]), "stgcn"  # in_channels=6
+        clf = StgcnAdapter(STGCN(STGCNConfig(
+            in_channels=input_size, num_class=dataset.num_actions,
+            layout="smpl")))
+    else:
+        input_size, arch = int(probe.shape[-1]), "gru"
+        clf = MotionDiscriminator(input_size, hidden_size, hidden_layers,
+                                  dataset.num_actions)
     init, step = make_a2m_classifier_step(
-        clf, input_size, num_frames, EvalTrainConfig(lr=args.lr))
+        clf, input_size, num_frames, EvalTrainConfig(lr=args.lr),
+        example_x=jnp.zeros((1,) + probe.shape[1:]))
     bb = batches()
     if args.cache_batches > 0:
         from ..data.loader import cache_device_batches
@@ -130,7 +153,8 @@ def _train_a2m_classifier(args):
                              log_every=args.log_every)
     save_evaluator_params(args.save_path, {
         "params": params, "input_size": input_size, "feature": feature,
-        "num_actions": dataset.num_actions,
+        "num_actions": dataset.num_actions, "arch": arch,
+        "hidden_size": hidden_size, "hidden_layers": hidden_layers,
     })
     print(f"saved {args.save_path}")
 

@@ -10,6 +10,24 @@ import os
 from typing import Callable, Dict, Iterable, Tuple
 
 
+class StgcnAdapter:
+    """Match MotionDiscriminator's (x, lengths) call signature.
+
+    The a2m harness and the classifier trainer both call
+    `clf.apply(params, x, lengths)`; the STGCN ignores lengths (the
+    reference's STGCN consumes fixed-60-frame clips, stgcn_eval.py:58-75).
+    """
+
+    def __init__(self, stg):
+        self.stg = stg
+
+    def apply(self, params, x, lengths):
+        return self.stg.apply(params, x)
+
+    def init(self, key, x, lengths):
+        return self.stg.init(key, x)
+
+
 def build_a2m_classifier(
     dataset_name: str, num_actions: int, num_frames: int = 60
 ) -> Tuple[object, dict, bool]:
@@ -45,13 +63,7 @@ def build_a2m_classifier(
                 jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 24, 6))
             )
 
-        class _StgcnAdapter:
-            """Match MotionDiscriminator's (x, lengths) call signature."""
-
-            def apply(self, params, x, lengths):
-                return stg.apply(params, x)
-
-        return _StgcnAdapter(), clf_params, degraded
+        return StgcnAdapter(stg), clf_params, degraded
 
     clf_path = os.path.join("assets", "actionrecognition", "humanact12_gru.tar")
     clf = MotionDiscriminator(72 + 3, 128, 2, num_actions)
@@ -81,12 +93,13 @@ def build_feature_and_classifier(
     random-init GRU so the protocol still runs end-to-end — stamped
     degraded/non-comparable by every caller.
 
-    `classifier_path` loads a SELF-TRAINED GRU classifier (.npy from
+    `classifier_path` loads a SELF-TRAINED classifier (.npy from
     `train_evaluators --stage a2m_classifier`) instead of the converted
-    reference checkpoint; the saved blob records which representation it
-    was trained on (xyz vs raw rot6d) and the eval reconstructs the same
-    pipeline. Functional (not random-init), but still non-comparable to
-    the published tables, which use the reference's frozen classifier.
+    reference checkpoint; the saved blob records the architecture
+    (arch/hidden_size/hidden_layers) and the representation it was trained
+    on (xyz / rot6d / raw) and the eval reconstructs the same pipeline.
+    Functional (not random-init), but still non-comparable to the
+    published tables, which use the reference's frozen classifier.
     """
     if classifier_path:
         from .classifiers import MotionDiscriminator
@@ -95,9 +108,19 @@ def build_feature_and_classifier(
         blob = load_evaluator_params(classifier_path)
         assert int(blob.get("num_actions", num_actions)) == num_actions, \
             (classifier_path, blob.get("num_actions"), num_actions)
-        clf = MotionDiscriminator(int(blob["input_size"]), 128, 2, num_actions)
-        if blob["feature"] == "xyz":
-            feature_input = make_a2m_feature_input(dataset_name)
+        if blob.get("arch", "gru") == "stgcn":
+            from .stgcn import STGCN, STGCNConfig
+
+            clf = StgcnAdapter(STGCN(STGCNConfig(
+                in_channels=int(blob["input_size"]),
+                num_class=num_actions, layout="smpl")))
+        else:
+            clf = MotionDiscriminator(
+                int(blob["input_size"]), int(blob.get("hidden_size", 128)),
+                int(blob.get("hidden_layers", 2)), num_actions)
+        if blob["feature"] in ("xyz", "rot6d"):
+            feature_input = make_a2m_feature_input(
+                dataset_name if blob["feature"] == "xyz" else "uestc")
         else:
             feature_input = lambda feats: feats  # noqa: E731
         return feature_input, clf, blob["params"], False

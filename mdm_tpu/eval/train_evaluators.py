@@ -249,8 +249,13 @@ def make_length_est_step(estimator: MotionLenEstimatorBiGRU,
 # ---------------------------------------------------------------------------
 
 def make_a2m_classifier_step(classifier, input_size: int, num_frames: int,
-                             config: EvalTrainConfig = EvalTrainConfig()):
-    """Cross-entropy trainer for the a2m GRU MotionDiscriminator.
+                             config: EvalTrainConfig = EvalTrainConfig(),
+                             example_x=None):
+    """Cross-entropy trainer for the a2m protocol classifiers (GRU
+    MotionDiscriminator, or the uestc STGCN via StgcnAdapter — anything
+    with `apply(params, x, lengths) -> {'yhat': ...}`). `example_x`
+    overrides the [1, num_frames, input_size] init probe for classifiers
+    with non-flat inputs (STGCN takes [B, T, 24, 6]).
 
     Capability port of the action2motion recognition training the reference
     consumes as frozen checkpoints (assets/actionrecognition/*.tar — the
@@ -282,10 +287,9 @@ def make_a2m_classifier_step(classifier, input_size: int, num_frames: int,
         return params, opt_state, logs
 
     def init(key):
-        params = classifier.init(
-            key, jnp.zeros((1, num_frames, input_size)),
-            jnp.array([num_frames]),
-        )
+        x0 = (example_x if example_x is not None
+              else jnp.zeros((1, num_frames, input_size)))
+        params = classifier.init(key, x0, jnp.array([num_frames]))
         return params, tx.init(params)
 
     return init, step

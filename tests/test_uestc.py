@@ -118,3 +118,46 @@ def test_eval_a2m_cli_uestc(uestc_dir, tmp_path, monkeypatch):
         assert metric in summary
         assert np.isfinite(summary[metric]["mean"])
     assert summary["comparable"] is False
+
+
+def test_train_a2m_classifier_uestc(uestc_dir, tmp_path, monkeypatch):
+    """--stage a2m_classifier --dataset uestc trains the protocol's own
+    architecture — an STGCN on rot6d [B,T,24,6] (reference
+    eval/a2m/stgcn_eval.py:58-60) — records arch/feature in the blob, and
+    the eval CLI reconstructs the identical pipeline from
+    --a2m_classifier_path (self-trained, not degraded)."""
+    import numpy as np
+
+    from mdm_tpu.cli import eval_a2m as ev_cli
+    from mdm_tpu.cli import train as train_cli
+    from mdm_tpu.cli import train_evaluators as tev_cli
+    from mdm_tpu.eval.train_evaluators import load_evaluator_params
+
+    clf_path = str(tmp_path / "uestc_stgcn.npy")
+    tev_cli.main([
+        "--stage", "a2m_classifier", "--dataset", "uestc",
+        "--data_dir", uestc_dir, "--save_path", clf_path,
+        "--batch_size", "2", "--num_steps", "3", "--log_every", "1",
+    ])
+    blob = load_evaluator_params(clf_path)
+    assert blob["arch"] == "stgcn" and blob["feature"] == "rot6d"
+    assert blob["num_actions"] == 40 and blob["input_size"] == 6
+
+    save_dir = str(tmp_path / "run_uestc_clf")
+    monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    train_cli.main([
+        "--save_dir", save_dir, "--dataset", "uestc",
+        "--data_dir", uestc_dir,
+        "--batch_size", "2", "--latent_dim", "32", "--layers", "2",
+        "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
+        "--log_interval", "1", "--num_frames", "60",
+    ])
+    ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("ckpt_"))
+    summary = ev_cli.main([
+        "--model_path", os.path.join(save_dir, ckpts[-1]),
+        "--dataset", "uestc", "--data_dir", uestc_dir,
+        "--eval_mode", "debug", "--a2m_classifier_path", clf_path,
+    ])
+    assert np.isfinite(summary["accuracy_gen"]["mean"])
+    assert np.isfinite(summary["fid_gen"]["mean"])
+    assert summary["classifier"] == "self-trained"
