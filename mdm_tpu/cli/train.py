@@ -17,6 +17,12 @@ def main(argv=None):
     from ..data import get_dataset_loader
     from ..models.mdm import Conditioning
     from ..parallel import make_mesh_for_batch
+    from ..parallel.multihost import is_primary, maybe_initialize_distributed, replicate
+
+    # Multi-host activation (MDM_TPU_COORDINATOR / MDM_TPU_MULTIHOST=auto):
+    # must precede the first backend use so the global device view exists
+    # before the mesh is built. No-op single-process.
+    maybe_initialize_distributed()
     from ..train import (
         LoopConfig,
         OptimConfig,
@@ -160,7 +166,7 @@ def main(argv=None):
         # TrainLoop's (state, batch, key) -> (state, metrics) contract.
         from ..train.resample import LossAwareState
 
-        sampler_box = {"s": LossAwareState.create(sched.num_timesteps)}
+        sampler_box = {"s": replicate(LossAwareState.create(sched.num_timesteps))}
         inner_step = step
 
         def step(state, batch, key):  # noqa: F811
@@ -169,9 +175,17 @@ def main(argv=None):
             )
             return state, metrics
 
-    state = create_train_state(params, config.optim)
+    # Multi-host: params/opt-state were built process-locally (identical on
+    # every process — deterministic init); re-home them as global replicated
+    # arrays so the globally-sharded jitted step accepts them. No-op
+    # single-process.
+    state = replicate(create_train_state(params, config.optim))
 
-    platform = get_platform(args.train_platform_type, args.save_dir)
+    # File-writing platforms (TB/WandB/ClearML) belong to process 0 only.
+    platform = get_platform(
+        args.train_platform_type if is_primary() else "NoPlatform",
+        args.save_dir,
+    )
 
     gen_fn = None
     if args.gen_during_training:

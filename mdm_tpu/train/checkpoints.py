@@ -62,10 +62,29 @@ def restore_checkpoint(path: str, target):
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
+def restore_pytree_numpy(path: str):
+    """Restore a checkpoint as plain numpy, regardless of the device
+    topology it was saved under.
+
+    Orbax records each array's sharding; a naive restore of a multi-host
+    (pod) checkpoint on one host fails with "available devices are
+    different". Restoring to np.ndarray via per-leaf RestoreArgs sidesteps
+    sharding entirely — the standard consume-a-pod-checkpoint-for-sampling
+    path.
+    """
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def restore_params_only(path: str, params_target, use_ema: bool = True):
     """Restore just (ema_)params from a full TrainState checkpoint."""
-    ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(os.path.abspath(path))
+    tree = restore_pytree_numpy(path)
     if use_ema and tree.get("ema_params") is not None:
         src = tree["ema_params"]
     else:

@@ -60,8 +60,12 @@ class TrainLoop:
         self.train_step = train_step
         self.state = state
         self.config = config
+        # Multi-host: every process runs the loop (orbax checkpoint saves are
+        # collective) but only process 0 owns the file side effects —
+        # args.json, progress.csv/jsonl, platform reporting.
+        self.is_primary = jax.process_index() == 0
         self.platform = platform or NoPlatform(config.save_dir)
-        self.logger = KVLogger(config.save_dir)
+        self.logger = KVLogger(config.save_dir if self.is_primary else None)
         self.eval_fn = eval_fn
         self.gen_fn = gen_fn
         # Per-step keys are fold_in(base, step) — a pure function of the step
@@ -77,7 +81,7 @@ class TrainLoop:
         self._metric_add = jax.jit(lambda acc, m: jax.tree.map(jnp.add, acc, m))
 
         os.makedirs(config.save_dir, exist_ok=True)
-        if args is not None:
+        if args is not None and self.is_primary:
             save_args(config.save_dir, args)
             self.platform.report_args(args, "args")
 
