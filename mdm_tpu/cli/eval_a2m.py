@@ -70,6 +70,7 @@ def main(argv=None):
     feature_input, clf, clf_params, degraded = build_feature_and_classifier(
         args.dataset, num_actions, num_frames, model.config.input_feats,
         classifier_path=getattr(args, "a2m_classifier_path", ""),
+        chunk=B,  # bound the SMPL vertex tensor inside megabatch FK
     )
     self_trained = bool(getattr(args, "a2m_classifier_path", ""))
     make_loaders = make_a2m_loaders_factory(

@@ -339,7 +339,8 @@ def make_a2m_eval_during_training(args, model, dataset, num_frames):
 
     num_actions = getattr(dataset, "num_actions", 1)
     feature_input, clf, clf_params, degraded = build_feature_and_classifier(
-        args.dataset, num_actions, num_frames, model.config.input_feats
+        args.dataset, num_actions, num_frames, model.config.input_feats,
+        chunk=args.eval_batch_size,
     )
     max_batches = max(1, args.eval_num_samples // max(1, args.eval_batch_size))
 

@@ -84,7 +84,7 @@ def build_a2m_classifier(
 
 def build_feature_and_classifier(
     dataset_name: str, num_actions: int, num_frames: int, input_feats: int,
-    classifier_path: str = "",
+    classifier_path: str = "", chunk: int = 0,
 ) -> Tuple[Callable, object, dict, bool]:
     """(feature_input, clf, clf_params, degraded) with graceful degradation.
 
@@ -120,7 +120,8 @@ def build_feature_and_classifier(
                 int(blob.get("hidden_layers", 2)), num_actions)
         if blob["feature"] in ("xyz", "rot6d"):
             feature_input = make_a2m_feature_input(
-                dataset_name if blob["feature"] == "xyz" else "uestc")
+                dataset_name if blob["feature"] == "xyz" else "uestc",
+                chunk=chunk)
         else:
             feature_input = lambda feats: feats  # noqa: E731
         return feature_input, clf, blob["params"], False
@@ -129,7 +130,8 @@ def build_feature_and_classifier(
         dataset_name, num_actions, num_frames
     )
     try:
-        return make_a2m_feature_input(dataset_name), clf, clf_params, degraded
+        return (make_a2m_feature_input(dataset_name, chunk=chunk), clf,
+                clf_params, degraded)
     except FileNotFoundError as e:
         import jax
         import jax.numpy as jnp
@@ -146,8 +148,15 @@ def build_feature_and_classifier(
         return (lambda feats: feats), clf, clf_params, True
 
 
-def make_a2m_feature_input(dataset_name: str) -> Callable:
-    """feats_norm [B,T,150] -> classifier input (xyz flat or rot6d)."""
+def make_a2m_feature_input(dataset_name: str, chunk: int = 0) -> Callable:
+    """feats_norm [B,T,150] -> classifier input (xyz flat or rot6d).
+
+    `chunk` > 0: when a megabatch (whole eval epoch in one call, see
+    make_a2m_loaders_factory) divides evenly, the SMPL forward runs as a
+    `lax.scan`-style `lax.map` over chunks INSIDE one jitted program — the
+    LBS vertex tensor ([chunk*T, 6890, 3]) stays bounded while the host
+    still dispatches a single call.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -170,7 +179,15 @@ def make_a2m_feature_input(dataset_name: str) -> Callable:
         )  # [B, T, 24, 3]
         return joints.reshape(joints.shape[0], joints.shape[1], -1)
 
-    get_xyz = jax.jit(_xyz_flat)
+    def _xyz_maybe_chunked(feats):
+        B = feats.shape[0]
+        if chunk and B > chunk and B % chunk == 0:
+            fr = feats.reshape(B // chunk, chunk, *feats.shape[1:])
+            out = jax.lax.map(_xyz_flat, fr)
+            return out.reshape(B, *out.shape[2:])
+        return _xyz_flat(feats)
+
+    get_xyz = jax.jit(_xyz_maybe_chunked)
 
     def feature_input(feats_norm):
         # Stays a DEVICE array: the classifier consumes it directly and the
@@ -184,12 +201,25 @@ def make_a2m_loaders_factory(
     dataset, generator, batch_size: int, num_frames: int,
     feature_input: Callable, max_batches: int = 0,
 ) -> Callable[[int], Dict[str, Iterable]]:
-    """make_loaders(seed) -> {gen, gt, gt2} eval batches.
+    """make_loaders(seed) -> {gen, gt, gt2} single-megabatch passes.
 
     Per seed: reshuffled GT pass, an independently-shuffled gt2 pass (the
     reference's FID sanity baseline, gru_eval.py:55-78), and generation over
     the GT prompts through the jitted sampler. max_batches>0 truncates each
     pass (eval-during-training uses a small budget, training_loop.py:277).
+
+    Each pass is ONE megabatch (the whole eval epoch concatenated host-side):
+    one H2D transfer, one sampler dispatch, one FK dispatch, one classifier
+    dispatch per pass — ~7 device calls per seed instead of ~75. Round-3
+    measurement (docs/BENCHMARKS.md) put the per-batch dispatch latency of
+    the 75 ms-RTT dev tunnel at ~12 s/seed over the 29 s/seed sampling
+    floor; amortizing the dispatches removes it. The epoch size is constant
+    across seeds (drop_last), so every seed reuses one compiled program; the
+    SMPL vertex tensor stays bounded via chunked FK inside the jitted call
+    (make_a2m_feature_input(chunk=batch_size)). Host-side batch composition
+    (shuffle order, per-clip frame sampling) is byte-identical to the
+    per-batch protocol; only the noise-key granularity changes (one key per
+    epoch instead of per batch) — a different but equidistributed draw.
     """
     import jax
     import jax.numpy as jnp
@@ -198,39 +228,32 @@ def make_a2m_loaders_factory(
     from ..data import BatchIterator
     from ..models.mdm import Conditioning
 
-    def make_loaders(seed):
-        key = jax.random.PRNGKey(seed)
-        it = BatchIterator(dataset, batch_size, seed=seed, infinite=False)
-        it2 = BatchIterator(dataset, batch_size, seed=seed + 1000, infinite=False)
-        gt1, gt2, genb = [], [], []
+    def _epoch(seed_):
+        xs, ls, ys, ms = [], [], [], []
+        it = BatchIterator(dataset, batch_size, seed=seed_, infinite=False)
         for i, batch in enumerate(it):
             if max_batches and i >= max_batches:
                 break
-            gt1.append({
-                "output_xyz": feature_input(batch["x"]),
-                "lengths": batch["lengths"], "y": batch["action"],
-            })
-            key, sub = jax.random.split(key)
-            cond = Conditioning(
-                frames_mask=jnp.asarray(batch["mask"]),
-                action=jnp.asarray(batch["action"]),
-            )
-            # Device-resident: no np.asarray between sampler, FK, and
-            # classifier — batches pipeline under async dispatch.
-            feats = generator.sample_features(
-                cond, len(batch["action"]), num_frames, sub
-            )
-            genb.append({
-                "output_xyz": feature_input(feats),
-                "lengths": batch["lengths"], "y": batch["action"],
-            })
-        for i, batch in enumerate(it2):
-            if max_batches and i >= max_batches:
-                break
-            gt2.append({
-                "output_xyz": feature_input(batch["x"]),
-                "lengths": batch["lengths"], "y": batch["action"],
-            })
+            xs.append(batch["x"])
+            ls.append(np.asarray(batch["lengths"]))
+            ys.append(np.asarray(batch["action"]))
+            ms.append(np.asarray(batch["mask"]))
+        return (np.concatenate(xs), np.concatenate(ls), np.concatenate(ys),
+                np.concatenate(ms))
+
+    def make_loaders(seed):
+        key = jax.random.PRNGKey(seed)
+        x1, l1, y1, m1 = _epoch(seed)
+        x2, l2, y2, m2 = _epoch(seed + 1000)
+        gt1 = [{"output_xyz": feature_input(x1), "lengths": l1, "y": y1}]
+        gt2 = [{"output_xyz": feature_input(x2), "lengths": l2, "y": y2}]
+        cond = Conditioning(
+            frames_mask=jnp.asarray(m1), action=jnp.asarray(y1)
+        )
+        # Device-resident: no np.asarray between sampler, FK, and
+        # classifier — the generate -> FK -> classify chain never syncs.
+        feats = generator.sample_features(cond, len(y1), num_frames, key)
+        genb = [{"output_xyz": feature_input(feats), "lengths": l1, "y": y1}]
         return {"gt": gt1, "gt2": gt2, "gen": genb}
 
     return make_loaders
