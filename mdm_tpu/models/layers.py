@@ -38,6 +38,27 @@ def sinusoidal_table(max_len: int, d_model: int) -> np.ndarray:
     return pe.astype(np.float32)
 
 
+class DenseParams(nn.Module):
+    """nn.Dense-identical param tree ({kernel, bias}) WITHOUT the matmul.
+
+    Lets a fused Pallas kernel consume projection weights directly while
+    keeping the checkpoint layout bit-compatible with nn.Dense (same scope
+    name, same leaf names/shapes/initializers, and flax derives per-param
+    init RNG from the path, so init values match too).
+    """
+
+    d_in: int
+    d_out: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.d_in, self.d_out)),
+            self.param("bias", nn.initializers.zeros, (self.d_out,)),
+        )
+
+
 class MultiHeadAttention(nn.Module):
     """Scaled-dot-product attention matching torch.nn.MultiheadAttention.
 
@@ -64,17 +85,54 @@ class MultiHeadAttention(nn.Module):
         head_dim = D // H
         cdt = self.compute_dtype or query.dtype
 
+        from ..ops import (
+            pallas_attention_enabled,
+            pallas_train_attention_enabled,
+            pallas_train_block_enabled,
+            tpu_backend,
+        )
+
+        # Whole-block training path: q/k/v/out projections + attention +
+        # in-kernel dropout as ONE Pallas program — q/k/v and the [B,H,S,S]
+        # probabilities never round-trip HBM in either direction
+        # (ops/attention_train_block.py, flash-style seed-replay VJP).
+        use_train_block = (
+            pallas_train_block_enabled()
+            and tpu_backend()  # kernel uses the TPU PRNG
+            and not deterministic
+            and self.dropout > 0.0
+            and query is key and key is value  # self-attention only
+            and (attn_bias is None or attn_bias.shape[-2] == 1)
+            and D % 128 == 0
+        )
+        if use_train_block:
+            from ..ops.attention_train_block import fused_train_attention_block
+
+            wq, bq = DenseParams(D, D, name="q_proj")()
+            wk, bk = DenseParams(D, D, name="k_proj")()
+            wv, bv = DenseParams(D, D, name="v_proj")()
+            wo, bo = DenseParams(D, D, name="out_proj")()
+            kpm = None
+            if attn_bias is not None:
+                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[:, -key.shape[1]:] < -1e8
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32,
+            )
+            return fused_train_attention_block(
+                query.astype(cdt), wq, bq, wk, bk, wv, bv, wo, bo,
+                H, self.dropout, seed, key_padding_mask=kpm,
+            )
+
         q = nn.Dense(D, name="q_proj", dtype=cdt)(query)
         k = nn.Dense(D, name="k_proj", dtype=cdt)(key)
         v = nn.Dense(D, name="v_proj", dtype=cdt)(value)
-
-        from ..ops import pallas_attention_enabled, pallas_train_attention_enabled
 
         # Training path: fused attention with in-kernel dropout (no
         # [B,H,S,S] prob/mask tensors in HBM, flash-style custom VJP).
         use_dropout_kernel = (
             pallas_train_attention_enabled()
-            and jax.default_backend() == "tpu"  # kernel uses the TPU PRNG
+            and tpu_backend()  # kernel uses the TPU PRNG
             and not deterministic
             and self.dropout > 0.0
             and query.shape[1] == key.shape[1]

@@ -1,0 +1,202 @@
+"""Fused training attention block kernel (ops/attention_train_block.py).
+
+CPU strategy (same as test_attention_dropout.py): the TPU PRNG has no
+interpret lowering, so the kernels are driven through the injected-bits
+path (identical code modulo the bits source) against a manual
+implementation — forward values and ALL NINE gradients (x + 4 kernels + 4
+biases). A TPU-only class pins that the PRNG path equals the injected path
+given bits dumped by attention_dropout.dropout_bits (identical
+seeding/order contract), and that the custom VJP matches the manual grads.
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from mdm_tpu.ops import attention_dropout as AD
+from mdm_tpu.ops import attention_train_block as TB
+
+B, S, D, H = 2, 32, 64, 2
+RATE = 0.25
+RNG = np.random.default_rng(0)
+
+
+def _operands():
+    x = jnp.asarray(RNG.normal(size=(B, S, D)).astype(np.float32))
+    ws = [jnp.asarray((RNG.normal(size=(D, D)) / np.sqrt(D)).astype(np.float32))
+          for _ in range(4)]
+    bs = [jnp.asarray(RNG.normal(size=(1, D)).astype(np.float32) * 0.1)
+          for _ in range(4)]
+    kpm = np.arange(S)[None, :] >= np.asarray([S, S - 5])[:, None]
+    mask_row = jnp.asarray(
+        np.where(kpm, -1e9, 0.0).astype(np.float32)[:, None, :]
+    )
+    return x, ws, bs, mask_row
+
+
+def _bits():
+    return jnp.asarray(
+        RNG.integers(0, 2 ** 32, size=(B, H, S, S), dtype=np.uint32)
+    )
+
+
+def manual(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, bits, rate):
+    """Whole-block reference math: projections + per-head softmax(QK^T/s)
+    + threshold-dropout on the probabilities + PV + out projection."""
+    Dh = D // H
+    thr = np.uint32(min(int(round((1.0 - rate) * 2 ** 32)), 2 ** 32 - 1))
+    q = x @ wq + bq
+    k = x @ wk + bk
+    v = x @ wv + bv
+    outs = []
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        logits = jnp.einsum("bsd,btd->bst", q[..., sl], k[..., sl])
+        logits = logits / np.sqrt(Dh) + mask_row
+        p = jax.nn.softmax(logits, axis=-1)
+        w = jnp.where(bits[:, h] < thr, p / (1.0 - rate), 0.0)
+        outs.append(jnp.einsum("bst,btd->bsd", w, v[..., sl]))
+    return jnp.concatenate(outs, axis=-1) @ wo + bo
+
+
+class TestInjectedBitsParity:
+    def test_forward(self):
+        x, (wq, wk, wv, wo), (bq, bk, bv, bo), mask_row = _operands()
+        bits = _bits()
+        out = TB._call_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row,
+                           None, bits, H, RATE, True)
+        ref = manual(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, bits, RATE)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+        # dropout really dropped something (not a plain rescale)
+        nodrop = manual(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row,
+                        jnp.zeros_like(bits), RATE)
+        assert not np.allclose(np.asarray(out), np.asarray(nodrop))
+
+    def test_backward_all_nine_grads(self):
+        x, (wq, wk, wv, wo), (bq, bk, bv, bo), mask_row = _operands()
+        bits = _bits()
+        do = jnp.asarray(RNG.normal(size=(B, S, D)).astype(np.float32))
+
+        got = TB._call_bwd(x, wq, bq, wk, bk, wv, bv, wo, mask_row,
+                           None, bits, do, H, RATE, True)
+        names = ["dx", "dwq", "dbq", "dwk", "dbk", "dwv", "dbv", "dwo", "dbo"]
+
+        ref_fn = lambda *ops: manual(*ops, mask_row, bits, RATE)
+        _, vjp = jax.vjp(ref_fn, x, wq, bq, wk, bk, wv, bv, wo, bo)
+        ref = vjp(do)
+        for name, g, r in zip(names, got, ref):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=5e-4, err_msg=name
+            )
+
+    def test_zero_bits_keep_everything(self):
+        """bits=0 keeps every probability (scaled 1/(1-rate)): the block
+        equals the no-dropout block times nothing — i.e. plain attention
+        with inverted-dropout scaling baked into the probabilities."""
+        x, (wq, wk, wv, wo), (bq, bk, bv, bo), mask_row = _operands()
+        bits = jnp.zeros((B, H, S, S), jnp.uint32)
+        out = TB._call_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row,
+                           None, bits, H, RATE, True)
+        ref = manual(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, bits, RATE)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_dense_params_tree_matches_nn_dense():
+    """DenseParams (models/layers.py) creates the bit-identical param tree
+    nn.Dense does — names, shapes, AND init values (flax derives param RNG
+    from the path) — so checkpoints work unchanged whichever branch of
+    MultiHeadAttention created or consumes them."""
+    from flax import linen as nn
+
+    from mdm_tpu.models.layers import DenseParams
+
+    dp = DenseParams(16, 16)
+    dense = nn.Dense(16)
+    v1 = dp.init(jax.random.PRNGKey(3))["params"]
+    v2 = dense.init(jax.random.PRNGKey(3), jnp.zeros((1, 16)))["params"]
+    assert set(v1) == set(v2) == {"kernel", "bias"}
+    np.testing.assert_array_equal(np.asarray(v1["kernel"]),
+                                  np.asarray(v2["kernel"]))
+    np.testing.assert_array_equal(np.asarray(v1["bias"]),
+                                  np.asarray(v2["bias"]))
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("mdm_tpu.ops").tpu_backend(),
+    reason="TPU hardware PRNG path",
+)
+class TestPrngPathOnTPU:
+    def test_wrapper_prng_matches_injected_and_grads(self):
+        x, (wq, wk, wv, wo), (bq, bk, bv, bo), mask_row = _operands()
+        kpm = jnp.asarray(np.asarray(mask_row[:, 0] < -1e8))
+        seed = 4321
+        bits = AD.dropout_bits(seed, B, H, S)  # identical seeding contract
+        b1 = lambda b: b.reshape(-1)
+
+        out = TB.fused_train_attention_block(
+            x, wq, b1(bq), wk, b1(bk), wv, b1(bv), wo, b1(bo), H, RATE,
+            seed, key_padding_mask=kpm,
+        )
+        ref = manual(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, bits, RATE)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2)
+
+        def loss(xx, ww, bb):
+            o = TB.fused_train_attention_block(
+                xx, ww, b1(bq), wk, b1(bk), wv, b1(bv), wo, bb, H, RATE,
+                seed, key_padding_mask=kpm,
+            )
+            return jnp.sum(o ** 2)
+
+        gx, gwq, gbo = jax.grad(loss, argnums=(0, 1, 2))(x, wq, b1(bo))
+
+        def ref_loss(xx, ww, bb):
+            o = manual(xx, ww, bq, wk, bk, wv, bv, wo, bb.reshape(1, D),
+                       mask_row, bits, RATE)
+            return jnp.sum(o ** 2)
+
+        rgx, rgwq, rgbo = jax.grad(ref_loss, argnums=(0, 1, 2))(x, wq, b1(bo))
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rgx),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(gwq), np.asarray(rgwq),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(gbo), np.asarray(rgbo),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_model_trains_through_fused_block(self):
+        """End-to-end: params initialized on the Dense branch train through
+        the fused-block branch (same tree), loss finite, grads flow to all
+        four projections."""
+        from mdm_tpu import ops
+        from mdm_tpu.models import MDM, Conditioning, MDMConfig
+
+        cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=128, ff_size=256,
+                        num_layers=2, num_heads=4)
+        model = MDM(cfg)
+        Bm, Tm = 2, 32
+        xm = jnp.zeros((Bm, Tm, 263))
+        cond = Conditioning(frames_mask=jnp.ones((Bm, Tm), bool),
+                            text_embed=jnp.zeros((Bm, 512)))
+        t = jnp.zeros((Bm,), jnp.int32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), xm, t, cond)
+
+        ops.enable_pallas_train_block(True)
+        try:
+            def loss(params):
+                out = model.apply(
+                    {"params": params}, xm, t, cond, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)},
+                )
+                return jnp.mean(out ** 2)
+
+            val, grads = jax.jit(jax.value_and_grad(loss))(variables["params"])
+            assert np.isfinite(float(val))
+            attn = grads["seqTransEncoder"]["layers_0"]["self_attn"]
+            for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                g = np.asarray(attn[name]["kernel"])
+                assert np.isfinite(g).all() and np.abs(g).max() > 0, name
+        finally:
+            ops.enable_pallas_train_block(False)
