@@ -266,6 +266,70 @@ def main():
             }
         )
     )
+    train_main()
+
+
+def train_main():
+    """Second headline line: the fused training step at B=128 bf16
+    (flagship config), slope method. vs_baseline is the throughput ratio
+    against the round-1 f32 measurement (690 samples/s, docs/BENCHMARKS.md)
+    — the reference publishes no training throughput (1 GPU, 600k steps,
+    batch 64: /root/reference/utils/parser_util.py:79,151,169), so the
+    pinned baseline is our own first honest number."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdm_tpu.diffusion import LossConfig, Schedule
+    from mdm_tpu.models import MDM, Conditioning, MDMConfig
+    from mdm_tpu.train import (
+        OptimConfig,
+        TrainStepConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    B, T = 128, 196
+    cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=512, ff_size=1024,
+                    num_layers=8, num_heads=4, compute_dtype="bfloat16")
+    model = MDM(cfg)
+    cond = Conditioning(
+        frames_mask=jnp.ones((B, T), bool),
+        text_embed=jnp.zeros((B, 512), jnp.float32),
+    )
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((B, T, 263)), jnp.zeros((B,), jnp.int32), cond
+    )["params"]
+    sched = Schedule.create("cosine", 1000)
+    config = TrainStepConfig(loss=LossConfig(), optim=OptimConfig(lr=1e-4))
+    state = create_train_state(params, config.optim)
+    step = make_train_step(model.apply, sched, config)
+    batch = {
+        "x": jnp.asarray(
+            np.random.default_rng(0).normal(size=(B, T, 263)).astype(np.float32)
+        ),
+        "mask": jnp.ones((B, T), bool),
+        "cond": cond,
+    }
+    key = jax.random.PRNGKey(1)
+    box = {"s": state, "i": 0}
+
+    def run_steps(k):
+        for _ in range(k):
+            box["s"], _m = step(box["s"], batch, jax.random.fold_in(key, box["i"]))
+            box["i"] += 1
+        _ = float(np.asarray(box["s"].step))  # forced host pull (slope method)
+
+    run_steps(3)
+    t0 = time.perf_counter(); run_steps(5); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run_steps(25); t2 = time.perf_counter() - t0
+    dt = (t2 - t1) / 20
+    print(json.dumps({
+        "metric": "train_step_ms_b128_bf16",
+        "value": round(dt * 1000, 2),
+        "unit": f"ms/step (B={B}, flagship 512d/8L, samples/s={round(B / dt, 1)})",
+        "vs_baseline": round((B / dt) / 690.0, 2),
+    }))
 
 
 def _backend_alive(timeout_s: float = 120.0) -> bool:
