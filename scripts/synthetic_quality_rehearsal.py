@@ -203,7 +203,11 @@ def main(argv=None):
             "--data_dir", root, "--text_encoder_type", "hash",
             "--num_steps", str(steps), "--save_interval", str(max(steps, 1)),
             "--log_interval", "200" if not args.smoke else "20",
-            "--batch_size", "64", "--lr", "3e-4",
+            # lr 1e-4 = the reference's training lr (parser_util.py:151).
+            # 3e-4 collapses the 512-d/50-step flagship into the
+            # predict-zero plateau (loss pinned at ~1.0, f32 AND bf16 —
+            # round-4 ablation grid, docs/BENCHMARKS.md); 1e-4 learns.
+            "--batch_size", "64", "--lr", "1e-4" if not args.smoke else "3e-4",
             "--seed", str(args.seed),
         ] + model_flags + ([] if args.smoke
                            else ["--cache_batches", str(n_train // 64)]))
