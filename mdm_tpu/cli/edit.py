@@ -55,7 +55,12 @@ def main(argv=None):
         assert found, f"no checkpoint under {ckpt}"
         ckpt = found[0]
     if os.path.exists(ckpt):
-        params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
+        params = {"params": restore_params_only(
+            ckpt, params["params"],
+            # EMA only if the checkpoint was trained with it — the
+            # model-group flag rides args.json (reference
+            # model_util.py:118-122 use_avg semantics).
+            use_ema=bool(getattr(args, "use_ema", False)))}
 
     if args.edit_mode == "in_between":
         mask = in_between_mask(lengths, T, D, args.prefix_end, args.suffix_start)

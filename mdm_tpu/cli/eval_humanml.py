@@ -65,7 +65,12 @@ def main(argv=None):
         found = find_resume_checkpoint(ckpt)
         assert found
         ckpt = found[0]
-    params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
+    params = {"params": restore_params_only(
+            ckpt, params["params"],
+            # EMA only if the checkpoint was trained with it — the
+            # model-group flag rides args.json (reference
+            # model_util.py:118-122 use_avg semantics).
+            use_ema=bool(getattr(args, "use_ema", False)))}
 
     from ..sampling.pipeline import dataset_norm_stats, load_norm_stats
 

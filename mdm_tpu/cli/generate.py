@@ -171,7 +171,12 @@ def main(argv=None):
         assert found, f"no checkpoint under {ckpt}"
         ckpt = found[0]
     if os.path.exists(ckpt):
-        params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
+        params = {"params": restore_params_only(
+            ckpt, params["params"],
+            # EMA only if the checkpoint was trained with it — the
+            # model-group flag rides args.json (reference
+            # model_util.py:118-122 use_avg semantics).
+            use_ema=bool(getattr(args, "use_ema", False)))}
         print(f"loaded checkpoint {ckpt}")
     else:
         print("WARNING: model_path missing; sampling with random weights")

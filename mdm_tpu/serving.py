@@ -38,6 +38,9 @@ class PredictorConfig:
     # hosts, where DP can't help a batch-of-1. Requires device count
     # divisible by the value.
     tensor_parallel: int = 1
+    # Prefer the EMA weights when the checkpoint carries them (released
+    # checkpoints trained --use_ema do); falls back to raw params otherwise.
+    use_ema: bool = True
 
 
 class Predictor:
@@ -78,7 +81,8 @@ class Predictor:
             found = find_resume_checkpoint(ckpt)
             ckpt = found[0] if found else ""
         if ckpt and os.path.exists(ckpt):
-            params = {"params": restore_params_only(ckpt, params["params"], use_ema=True)}
+            params = {"params": restore_params_only(
+                ckpt, params["params"], use_ema=cfg.use_ema)}
 
         sched = Schedule.create("cosine", cfg.num_diffusion_steps, cfg.respacing)
         mesh = None

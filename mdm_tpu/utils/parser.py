@@ -66,7 +66,11 @@ def add_model_options(parser):
     g.add_argument("--lambda_target_loc", default=0.0, type=float)
     g.add_argument("--unconstrained", action="store_true")
     g.add_argument("--pos_embed_max_len", default=5000, type=int)
-    g.add_argument("--use_ema", default=True, type=lambda x: str(x).lower() != "false")
+    # Reference default is OFF (parser_util.py:121, store_true); eval/sample
+    # load the avg model only when the checkpoint was trained with it
+    # (model_util.py:118-122) — this flag rides args.json like the reference.
+    g.add_argument("--use_ema", default=False, type=lambda x: str(x).lower() == "true",
+                   nargs="?", const=True)
     g.add_argument("--multi_target_cond", action="store_true")
     g.add_argument("--multi_encoder_type", default="multi", choices=["multi", "single", "split"])
     g.add_argument("--target_enc_layers", default=1, type=int)

@@ -159,6 +159,7 @@ def test_edit_cli(tmp_path, synthetic_humanml, monkeypatch):
     assert results["motion"].shape[0] == 2
 
 
+@pytest.mark.slow
 def test_eval_humanml_cli_smoke(tmp_path, synthetic_humanml, monkeypatch):
     """Full eval CLI on synthetic data with random evaluator weights."""
     from mdm_tpu.cli import eval_humanml as ev_cli
@@ -183,6 +184,7 @@ def test_eval_humanml_cli_smoke(tmp_path, synthetic_humanml, monkeypatch):
     assert np.isfinite(summary["FID"]["vald"]["mean"])
 
 
+@pytest.mark.slow
 def test_eval_humanml_with_t2m_baseline(tmp_path, synthetic_humanml, monkeypatch):
     """--t2m_baseline_path scores the original T2M generator alongside MDM
     (reference motion_loaders/model_motion_loaders.py:50-73 CompV6 path)."""

@@ -15,6 +15,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bootstraps_from_underprovisioned_env():
     # Fresh interpreter, JAX_PLATFORMS=cpu with NO forced host device count
     # -> exactly 1 device, like the driver's axon-pinned env.  (We use cpu

@@ -360,6 +360,7 @@ def test_match_training_learns_and_loads_into_wrapper(tmp_path):
     assert np.isfinite(te).all() and np.isfinite(me).all()
 
 
+@pytest.mark.slow
 def test_train_evaluators_cli_end_to_end(tmp_path):
     """decomp -> match through the CLI on synthetic HumanML data, then the
     produced finest.npy drives EvaluatorWrapper co-embeddings."""

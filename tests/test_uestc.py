@@ -64,6 +64,7 @@ def test_uestc_loader_splits_and_samples(uestc_dir):
     assert s["action_text"].startswith("act")
 
 
+@pytest.mark.slow
 def test_train_uestc_cli(uestc_dir, tmp_path, monkeypatch):
     """UESTC training path through the CLI (40 actions, rot6d, view/camera
     preprocessing) — end to end to a checkpoint + args.json."""
@@ -87,6 +88,7 @@ def test_train_uestc_cli(uestc_dir, tmp_path, monkeypatch):
     assert saved["cond_mode"] == "action"
 
 
+@pytest.mark.slow
 def test_eval_a2m_cli_uestc(uestc_dir, tmp_path, monkeypatch):
     """eval_a2m CLI on UESTC: rot6d features through the STGCN(smpl layout)
     classifier protocol (reference stgcn_eval.py), degraded-stamped without
@@ -120,6 +122,7 @@ def test_eval_a2m_cli_uestc(uestc_dir, tmp_path, monkeypatch):
     assert summary["comparable"] is False
 
 
+@pytest.mark.slow
 def test_train_a2m_classifier_uestc(uestc_dir, tmp_path, monkeypatch):
     """--stage a2m_classifier --dataset uestc trains the protocol's own
     architecture — an STGCN on rot6d [B,T,24,6] (reference
