@@ -154,7 +154,12 @@ def main(argv=None):
             "--data_dir", data_dir, "--num_frames", "60",
             "--num_steps", str(steps), "--save_interval", str(max(steps, 1)),
             "--log_interval", "200" if not args.smoke else "20",
-            "--batch_size", "64", "--lr", "3e-4", "--seed", str(args.seed),
+            # lr 1e-4 = the reference lr; 3e-4 collapses the 512-d/50-step
+            # flagship to the predict-zero plateau (t2m rehearsal ablation,
+            # docs/BENCHMARKS.md round 4). Smoke keeps 3e-4 (64-d learns).
+            "--batch_size", "64",
+            "--lr", "3e-4" if args.smoke else "1e-4",
+            "--seed", str(args.seed),
         ] + model_flags + ([] if args.smoke
                            else ["--cache_batches", str(n_clips // 64)]))
         from mdm_tpu.train.checkpoints import find_resume_checkpoint

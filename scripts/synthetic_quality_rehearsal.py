@@ -124,6 +124,12 @@ def main(argv=None):
     ap.add_argument("--train_steps", type=int, default=3000)
     ap.add_argument("--eval_mode", default="debug")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reuse_evaluators", action="store_true",
+                    help="skip dataset+evaluator stages when their outputs "
+                         "already exist in work_dir (iterate on MDM "
+                         "training length without re-fitting the metric "
+                         "encoders — the comparison stays apples-to-apples "
+                         "only against runs from the same work_dir)")
     args = ap.parse_args(argv)
 
     if args.smoke:
@@ -134,8 +140,12 @@ def main(argv=None):
     work = os.path.abspath(args.work_dir)
     os.makedirs(work, exist_ok=True)
     n_train, n_test = (96, 64) if args.smoke else (480, 320)
-    root, glove = build_dataset(work, n_train, n_test, args.seed)
-    print(f"[1/5] dataset: {root}")
+    root = os.path.join(work, "HumanML3D")
+    glove = os.path.join(work, "glove")
+    reuse = args.reuse_evaluators and os.path.isdir(root)
+    if not reuse:
+        root, glove = build_dataset(work, n_train, n_test, args.seed)
+    print(f"[1/5] dataset: {root}" + (" (reused)" if reuse else ""))
 
     from mdm_tpu.cli import train as train_cli
     from mdm_tpu.cli import train_evaluators as tev_cli
@@ -166,17 +176,20 @@ def main(argv=None):
     # On dev tunnels the per-step host->device copy dominates; cycle one
     # device-cached epoch instead (smoke keeps the uncached path exercised).
     cache = [] if args.smoke else ["--cache_batches", str(n_train // 32)]
-    run_cli("mdm_tpu.cli.train_evaluators", tev_cli.main,
-            ["--stage", "decomp", "--data_dir", root, "--glove_dir", glove,
-             "--save_path", decomp, "--num_steps", steps_d,
-             "--log_every", "50", "--lr", "3e-4"] + dims + cache)
-    print(f"[2/5] decomp: {decomp}")
-    run_cli("mdm_tpu.cli.train_evaluators", tev_cli.main,
-            ["--stage", "match", "--data_dir", root, "--glove_dir", glove,
-             "--save_path", finest, "--decomp_path", decomp,
-             "--num_steps", steps_m, "--log_every", "50",
-             "--lr", "3e-4"] + dims + cache)
-    print(f"[2/5] match encoders: {finest}")
+    if reuse and os.path.exists(finest):
+        print(f"[2/5] match encoders: {finest} (reused)")
+    else:
+        run_cli("mdm_tpu.cli.train_evaluators", tev_cli.main,
+                ["--stage", "decomp", "--data_dir", root, "--glove_dir", glove,
+                 "--save_path", decomp, "--num_steps", steps_d,
+                 "--log_every", "50", "--lr", "3e-4"] + dims + cache)
+        print(f"[2/5] decomp: {decomp}")
+        run_cli("mdm_tpu.cli.train_evaluators", tev_cli.main,
+                ["--stage", "match", "--data_dir", root, "--glove_dir", glove,
+                 "--save_path", finest, "--decomp_path", decomp,
+                 "--num_steps", steps_m, "--log_every", "50",
+                 "--lr", "3e-4"] + dims + cache)
+        print(f"[2/5] match encoders: {finest}")
 
     # ---- 3. MDM training (hash text embedder; flagship config by default).
     # Like the reference's fast model, train directly on a short schedule —
