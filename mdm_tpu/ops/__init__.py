@@ -17,7 +17,13 @@ from .attention_train_block import fused_train_attention_block  # noqa: F401
 
 _PALLAS_ATTENTION = False
 _PALLAS_TRAIN_ATTENTION = False
-_PALLAS_TRAIN_BLOCK = False
+# None = auto: make_train_step turns the fused train-block kernel ON for
+# single-device steps (it beats XLA by ~9% at the flagship shape, measured
+# in docs/BENCHMARKS.md) and OFF under a multi-device mesh, where a
+# pallas_call is not SPMD-partitionable and would force XLA to gather the
+# batch. An explicit enable_pallas_train_block(True/False) always wins.
+_PALLAS_TRAIN_BLOCK = None
+_AUTO_TRAIN_BLOCK = False
 
 
 def tpu_backend() -> bool:
@@ -50,15 +56,30 @@ def pallas_train_attention_enabled() -> bool:
     return _PALLAS_TRAIN_ATTENTION
 
 
-def enable_pallas_train_block(enabled: bool = True):
+def enable_pallas_train_block(enabled=True):
     """Route the WHOLE training self-attention block — q/k/v/out projections
     + attention + in-kernel PRNG dropout — through the single fused Pallas
     kernel with a flash-style seed-replay custom VJP
     (ops/attention_train_block.py). Supersedes enable_pallas_train_attention
-    when both are on. Opt-in; measured in docs/BENCHMARKS.md."""
+    when both are on.
+
+    Default (`None`) is AUTO: on for single-device train steps, off under a
+    multi-device mesh (see the module-level note). Pass True/False to pin it
+    either way; pass None to restore auto. Measured in docs/BENCHMARKS.md:
+    39.7 vs XLA's 43.5 ms/step at B=128 bf16 flagship."""
     global _PALLAS_TRAIN_BLOCK
     _PALLAS_TRAIN_BLOCK = enabled
 
 
 def pallas_train_block_enabled() -> bool:
+    if _PALLAS_TRAIN_BLOCK is None:
+        return _AUTO_TRAIN_BLOCK
     return _PALLAS_TRAIN_BLOCK
+
+
+def _set_auto_train_block(enabled: bool) -> None:
+    """make_train_step's auto decision; only read while the explicit flag
+    is None. Re-asserted before every step call so interleaved single- and
+    multi-device steps in one process each trace with their own setting."""
+    global _AUTO_TRAIN_BLOCK
+    _AUTO_TRAIN_BLOCK = enabled

@@ -161,13 +161,13 @@ def make_train_step(
         return new_state, metrics
 
     if not use_shardings:
-        return jax.jit(step, donate_argnums=(0,))
+        return _with_auto_train_block(jax.jit(step, donate_argnums=(0,)), True)
 
     mesh = get_mesh()
     if mesh.size == 1 and state_shardings is None:
         # Single-device: explicit sharding annotations only force per-call
         # relayout copies (measured 48x slower through the axon tunnel).
-        return jax.jit(step, donate_argnums=(0,))
+        return _with_auto_train_block(jax.jit(step, donate_argnums=(0,)), True)
     repl = NamedSharding(mesh, P())
     # On a hybrid multi-slice mesh the batch shards over ('slice', 'data'):
     # the grad all-reduce then runs hierarchically (ICI within a slice, one
@@ -177,15 +177,36 @@ def make_train_step(
     # the 'model' axis across steps; XLA inserts the TP collectives.
     state_sh = state_shardings if state_shardings is not None else repl
     if loss_aware:
-        return jax.jit(
+        return _with_auto_train_block(jax.jit(
             step,
             donate_argnums=(0,),
             in_shardings=(state_sh, data, repl, repl),
             out_shardings=(state_sh, repl, repl),
-        )
-    return jax.jit(
+        ), False)
+    return _with_auto_train_block(jax.jit(
         step,
         donate_argnums=(0,),
         in_shardings=(state_sh, data, repl),
         out_shardings=(state_sh, repl),
-    )
+    ), False)
+
+
+def _with_auto_train_block(jitted, single_device: bool):
+    """Bind the fused train-block kernel's AUTO decision to this step.
+
+    The fused projections+attention+dropout Pallas kernel
+    (ops/attention_train_block.py) beats XLA on a single device (measured:
+    39.7 vs 43.5 ms/step, docs/BENCHMARKS.md) but a pallas_call carries no
+    SPMD partitioning rule, so under a multi-device mesh it stays off and
+    the XLA mega-fusion path runs. The decision is re-asserted before every
+    call (tracing is deferred to the first call, so a construction-time
+    global would race when two steps coexist); an explicit
+    ops.enable_pallas_train_block(True/False) overrides it entirely.
+    """
+    from .. import ops
+
+    def stepper(*args, **kwargs):
+        ops._set_auto_train_block(single_device)
+        return jitted(*args, **kwargs)
+
+    return stepper

@@ -19,7 +19,12 @@ import numpy as np
 
 variant = sys.argv[1]
 
+import mdm_tpu.ops as ops
 import mdm_tpu.train.train_step as ts
+
+# This grid ablates the pure-XLA step; keep the fused train-block kernel
+# (default AUTO-on for single-device since round 4) out of every variant.
+ops.enable_pallas_train_block(False)
 from mdm_tpu.diffusion import LossConfig, Schedule
 from mdm_tpu.models import MDM, Conditioning, MDMConfig
 from mdm_tpu.train import OptimConfig, TrainStepConfig, create_train_state, make_train_step

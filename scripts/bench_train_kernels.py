@@ -53,10 +53,15 @@ def main():
 
     import mdm_tpu.ops as ops
 
+    # Pin explicitly: the default is AUTO (block kernel on for single-device
+    # steps since it won, round 4), so xla/drop must opt out of it.
     if args.variant == "drop":
+        ops.enable_pallas_train_block(False)
         ops.enable_pallas_train_attention(True)
     elif args.variant == "block":
         ops.enable_pallas_train_block(True)
+    else:
+        ops.enable_pallas_train_block(False)
 
     B, T = args.batch, 196
     cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=512, ff_size=1024,

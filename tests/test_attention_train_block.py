@@ -199,4 +199,79 @@ class TestPrngPathOnTPU:
                 g = np.asarray(attn[name]["kernel"])
                 assert np.isfinite(g).all() and np.abs(g).max() > 0, name
         finally:
-            ops.enable_pallas_train_block(False)
+            ops.enable_pallas_train_block(None)  # restore auto
+
+
+class TestAutoDefault:
+    """make_train_step binds the kernel's AUTO decision per step:
+    single-device steps turn it on (it wins, docs/BENCHMARKS.md), mesh
+    steps keep it off (pallas_call has no SPMD partitioning rule). The
+    flag logic is backend-independent; on CPU the layers additionally
+    gate on tpu_backend() so the kernel itself never runs here."""
+
+    def _tiny_step_inputs(self):
+        import jax
+
+        from mdm_tpu.diffusion import LossConfig, Schedule
+        from mdm_tpu.models import MDM, Conditioning, MDMConfig
+        from mdm_tpu.train import (
+            OptimConfig, TrainStepConfig, create_train_state, make_train_step,
+        )
+
+        B, T = 8, 16  # divisible by the conftest's 8-way virtual mesh
+        cfg = MDMConfig(njoints=26, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, num_heads=2)
+        model = MDM(cfg)
+        cond = Conditioning(frames_mask=jnp.ones((B, T), bool),
+                            text_embed=jnp.zeros((B, 32)))
+        x = jnp.zeros((B, T, 26))
+        params = model.init(jax.random.PRNGKey(0), x,
+                            jnp.zeros((B,), jnp.int32), cond)["params"]
+        sched = Schedule.create("cosine", 10)
+        config = TrainStepConfig(loss=LossConfig(), optim=OptimConfig(lr=1e-4))
+        state = create_train_state(params, config.optim)
+        batch = {"x": x, "mask": jnp.ones((B, T), bool), "cond": cond}
+        return model, sched, config, state, batch, make_train_step
+
+    def test_single_device_step_sets_auto_on(self):
+        import jax
+
+        import mdm_tpu.ops as ops
+
+        model, sched, config, state, batch, make_train_step = (
+            self._tiny_step_inputs())
+        ops._set_auto_train_block(False)
+        step = make_train_step(model.apply, sched, config,
+                               use_shardings=False)
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        assert ops.pallas_train_block_enabled()
+
+    def test_mesh_step_sets_auto_off(self):
+        import jax
+
+        import mdm_tpu.ops as ops
+        from mdm_tpu.parallel import mesh as mesh_mod
+
+        model, sched, config, state, batch, make_train_step = (
+            self._tiny_step_inputs())
+        prev = mesh_mod._active_mesh
+        try:
+            mesh_mod.make_mesh()  # 8-way virtual CPU mesh (conftest)
+            step = make_train_step(model.apply, sched, config)
+            ops._set_auto_train_block(True)
+            state, _ = step(state, batch, jax.random.PRNGKey(1))
+            assert not ops.pallas_train_block_enabled()
+        finally:
+            mesh_mod._active_mesh = prev
+
+    def test_explicit_setting_wins_over_auto(self):
+        import mdm_tpu.ops as ops
+
+        ops._set_auto_train_block(True)
+        ops.enable_pallas_train_block(False)
+        try:
+            assert not ops.pallas_train_block_enabled()
+        finally:
+            ops.enable_pallas_train_block(None)
+        assert ops.pallas_train_block_enabled()
+        ops._set_auto_train_block(False)
