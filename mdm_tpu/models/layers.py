@@ -87,10 +87,39 @@ class MultiHeadAttention(nn.Module):
 
         from ..ops import (
             pallas_attention_enabled,
+            pallas_sample_block_enabled,
             pallas_train_attention_enabled,
             pallas_train_block_enabled,
             tpu_backend,
         )
+
+        # Deterministic whole-block path (sampling/eval): projections +
+        # attention + out projection in one forward-only Pallas program
+        # (ops/attention_train_block.py::fused_block_attention_inference).
+        use_sample_block = (
+            pallas_sample_block_enabled()
+            and tpu_backend()
+            and deterministic  # forward-only kernel: no VJP, sampling/eval only
+            and query is key and key is value  # self-attention only
+            and (attn_bias is None or attn_bias.shape[-2] == 1)
+            and D % 128 == 0
+        )
+        if use_sample_block:
+            from ..ops.attention_train_block import (
+                fused_block_attention_inference,
+            )
+
+            wq, bq = DenseParams(D, D, name="q_proj")()
+            wk, bk = DenseParams(D, D, name="k_proj")()
+            wv, bv = DenseParams(D, D, name="v_proj")()
+            wo, bo = DenseParams(D, D, name="out_proj")()
+            kpm = None
+            if attn_bias is not None:
+                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[:, -key.shape[1]:] < -1e8
+            return fused_block_attention_inference(
+                query.astype(cdt), wq, bq, wk, bk, wv, bv, wo, bo,
+                H, key_padding_mask=kpm,
+            )
 
         # Whole-block training path: q/k/v/out projections + attention +
         # in-kernel dropout as ONE Pallas program — q/k/v and the [B,H,S,S]

@@ -24,6 +24,11 @@ _PALLAS_TRAIN_ATTENTION = False
 # batch. An explicit enable_pallas_train_block(True/False) always wins.
 _PALLAS_TRAIN_BLOCK = None
 _AUTO_TRAIN_BLOCK = False
+# Same tri-state as the train block: None = auto (MotionGenerator turns it
+# on for single-device sampling — it wins at both measured batch sizes,
+# docs/BENCHMARKS.md — and off on a multi-device mesh).
+_PALLAS_SAMPLE_BLOCK = None
+_AUTO_SAMPLE_BLOCK = False
 
 
 def tpu_backend() -> bool:
@@ -75,6 +80,35 @@ def pallas_train_block_enabled() -> bool:
     if _PALLAS_TRAIN_BLOCK is None:
         return _AUTO_TRAIN_BLOCK
     return _PALLAS_TRAIN_BLOCK
+
+
+def enable_pallas_sample_block(enabled=True):
+    """Route DETERMINISTIC (sampling/eval) self-attention through the
+    forward-only whole-block kernel (projections + attention + out
+    projection in one Pallas program, rate=0, no PRNG —
+    ops/attention_train_block.py::fused_block_attention_inference).
+
+    Default (`None`) is AUTO: on for single-device MotionGenerator
+    sampling, off on a multi-device mesh (pallas_call is not
+    SPMD-partitionable). Pass True/False to pin; None restores auto.
+    Measured in docs/BENCHMARKS.md: 7.19/7.88 ms/sample at B=32/128 vs
+    XLA's 7.65/8.88 in the 50-step CFG scan."""
+    global _PALLAS_SAMPLE_BLOCK
+    _PALLAS_SAMPLE_BLOCK = enabled
+
+
+def pallas_sample_block_enabled() -> bool:
+    if _PALLAS_SAMPLE_BLOCK is None:
+        return _AUTO_SAMPLE_BLOCK
+    return _PALLAS_SAMPLE_BLOCK
+
+
+def _set_auto_sample_block(enabled: bool) -> None:
+    """MotionGenerator's auto decision; only read while the explicit flag
+    is None. Re-asserted before every sampling call (tracing is deferred),
+    mirroring _set_auto_train_block."""
+    global _AUTO_SAMPLE_BLOCK
+    _AUTO_SAMPLE_BLOCK = enabled
 
 
 def _set_auto_train_block(enabled: bool) -> None:

@@ -81,7 +81,8 @@ def _fwd_kernel(num_heads, rate, use_prng, *refs):
         (seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
          wo_ref, bo_ref, m_ref, o_ref, ctx_ref) = refs
         bits_ref = None
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        if rate > 0.0:  # static: the rate-0 (inference) variant draws no bits
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     else:
         (x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
          wo_ref, bo_ref, m_ref, bits_ref, o_ref, ctx_ref) = refs
@@ -102,8 +103,11 @@ def _fwd_kernel(num_heads, rate, use_prng, *refs):
             preferred_element_type=jnp.float32,
         ) * scale + mask[None, :]
         p = _softmax_rows(logits)
-        bits = _head_bits(h, (S, S), use_prng, bits_ref)
-        w = jnp.where(bits < thr, p * inv_keep, 0.0)
+        if rate > 0.0:
+            bits = _head_bits(h, (S, S), use_prng, bits_ref)
+            w = jnp.where(bits < thr, p * inv_keep, 0.0)
+        else:
+            w = p
         ctx_ref[:, sl] = jax.lax.dot_general(
             w.astype(xb.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -395,5 +399,40 @@ def fused_train_attention_block(
         xp, wq.astype(dt), as2(bq), wk.astype(dt), as2(bk), wv.astype(dt),
         as2(bv), wo.astype(dt), as2(bo), mask_row, seed,
         num_heads, float(rate), interpret,
+    )
+    return out[:, :S]
+
+
+def fused_block_attention_inference(
+    x: jnp.ndarray,  # [B, S, D] heads packed in D
+    wq, bq, wk, bk, wv, bv, wo, bo,
+    num_heads: int,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool True=ignore
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Forward-only whole attention block for SAMPLING (rate=0, no PRNG).
+
+    Same program as the training kernel minus dropout: per batch cell, one
+    x read, VMEM-resident projection weights, per-head softmax(QK^T/√dh+m)V,
+    out projection, one write — the [B,H,S,S] probabilities never exist in
+    HBM, targeting the CFG double-batch regime where XLA's attention
+    mega-fusion goes HBM-heavy (docs/BENCHMARKS.md sampling shootout).
+    Not differentiable (sampling never is); use fused_train_attention_block
+    for training.
+    """
+    B, S, D = x.shape
+    S_pad = max(_pad_to(S, _SUBLANE), _SUBLANE)
+    xp = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+    mask_row = jnp.zeros((B, 1, S_pad), jnp.float32).at[:, :, S:].set(-1e9)
+    if key_padding_mask is not None:
+        mask_row = mask_row.at[:, 0, :S].add(
+            jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
+        )
+    dt = x.dtype
+    as2 = lambda b: b.reshape(1, D).astype(dt)
+    out = _call_fwd(
+        xp, wq.astype(dt), as2(bq), wk.astype(dt), as2(bk), wv.astype(dt),
+        as2(bv), wo.astype(dt), as2(bo), mask_row, jnp.int32(0), None,
+        num_heads, 0.0, interpret,
     )
     return out[:, :S]

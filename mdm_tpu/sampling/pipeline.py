@@ -23,6 +23,23 @@ from ..models.mdm import MDM, Conditioning, MDMConfig, cfg_denoiser
 STATS_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets", "stats")
 
 
+def _with_auto_sample_block(jitted, single_device: bool):
+    """Bind the forward-only whole-block attention kernel's AUTO decision
+    to this sampling program: on for single-device generation (it wins at
+    every measured batch size, docs/BENCHMARKS.md sampling shootout), off
+    on a multi-device mesh (pallas_call carries no SPMD partitioning rule,
+    so DP/TP sampling keeps the XLA path). Re-asserted before every call —
+    tracing is deferred to the first call; an explicit
+    ops.enable_pallas_sample_block(True/False) overrides entirely."""
+    from .. import ops
+
+    def call(*args, **kwargs):
+        ops._set_auto_sample_block(single_device)
+        return jitted(*args, **kwargs)
+
+    return call
+
+
 def auto_mesh():
     """Data-parallel mesh over all visible devices for sampling/eval CLIs.
 
@@ -173,7 +190,8 @@ class MotionGenerator:
             return sampler(model_fn, self.sched, noise, key, scfg, **kwargs)
 
         self._raw_sample = _raw_sample
-        self._sample_jit = jax.jit(_raw_sample)
+        self._sample_jit = _with_auto_sample_block(
+            jax.jit(_raw_sample), self.mesh is None)
 
         def _ar_scan(params, init_prefix, stacked_cond, keys, chunk_noise=None):
             """Whole DiP autoregressive generation as ONE XLA program.
@@ -211,7 +229,8 @@ class MotionGenerator:
             n_iters = chunks.shape[0]
             return jnp.transpose(chunks, (1, 0, 2, 3)).reshape(B, n_iters * ccfg_pred_len, D)
 
-        self._ar_scan_jit = jax.jit(_ar_scan)
+        self._ar_scan_jit = _with_auto_sample_block(
+            jax.jit(_ar_scan), self.mesh is None)
 
         if self.mean is not None:
             mean_c, std_c = jnp.asarray(self.mean), jnp.asarray(self.std)

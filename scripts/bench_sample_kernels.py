@@ -33,17 +33,28 @@ from mdm_tpu.sampling import GenerationConfig, MotionGenerator
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", choices=["xla", "pallas"], required=True)
+    ap.add_argument("--variant", choices=["xla", "pallas", "block"],
+                    required=True)
     ap.add_argument("--batch", type=int, default=128)
     args = ap.parse_args()
 
     import mdm_tpu.ops as ops
 
+    # The block kernel is the AUTO default for single-device sampling since
+    # round 4; xla/pallas variants must pin it off to measure their paths.
     if args.variant == "pallas":
         # Routes deterministic self-attention through fused_attention_v2
         # (batch-tiled, heads looped in-kernel, no [B,H,S,S] in HBM) —
         # models/layers.py use_v2 branch.
+        ops.enable_pallas_sample_block(False)
         ops.enable_pallas_attention(True)
+    elif args.variant == "block":
+        # Forward-only whole-block kernel: projections + attention + out
+        # projection in one program (the rate-0 variant of the round-4
+        # training winner) — models/layers.py use_sample_block branch.
+        ops.enable_pallas_sample_block(True)
+    else:
+        ops.enable_pallas_sample_block(False)
 
     B, T = args.batch, 196
     cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=512, ff_size=1024,

@@ -104,6 +104,46 @@ class TestInjectedBitsParity:
                                    atol=2e-5)
 
 
+class TestInferenceWrapper:
+    """fused_block_attention_inference: the rate-0, forward-only variant
+    for sampling. Statically skips the PRNG (so CPU interpret covers the
+    exact shipped path) and pads S internally."""
+
+    def test_matches_plain_attention(self):
+        x, (wq, wk, wv, wo), (bq, bk, bv, bo), mask_row = _operands()
+        kpm = jnp.asarray(np.asarray(mask_row)[:, 0, :] < -1e8)
+        out = TB.fused_block_attention_inference(
+            x, wq, bq.reshape(-1), wk, bk.reshape(-1), wv, bv.reshape(-1),
+            wo, bo.reshape(-1), H, key_padding_mask=kpm, interpret=True,
+        )
+        bits = jnp.zeros((B, H, S, S), jnp.uint32)  # full keep
+        ref = manual(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, bits, 0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_unaligned_seq_len(self):
+        """S=19 pads to the sublane multiple internally; padded keys are
+        masked out of every softmax row."""
+        Su = 19
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(B, Su, D)).astype(np.float32))
+        ws = [jnp.asarray((rng.normal(size=(D, D)) / np.sqrt(D)).astype(np.float32))
+              for _ in range(4)]
+        bs = [jnp.asarray(rng.normal(size=(1, D)).astype(np.float32) * 0.1)
+              for _ in range(4)]
+        out = TB.fused_block_attention_inference(
+            x, ws[0], bs[0].reshape(-1), ws[1], bs[1].reshape(-1),
+            ws[2], bs[2].reshape(-1), ws[3], bs[3].reshape(-1),
+            H, interpret=True,
+        )
+        zero_mask = jnp.zeros((B, 1, Su), jnp.float32)
+        bits = jnp.zeros((B, H, Su, Su), jnp.uint32)
+        ref = manual(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                     ws[3], bs[3], zero_mask, bits, 0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+
 def test_dense_params_tree_matches_nn_dense():
     """DenseParams (models/layers.py) creates the bit-identical param tree
     nn.Dense does — names, shapes, AND init values (flax derives param RNG
@@ -263,6 +303,46 @@ class TestAutoDefault:
             assert not ops.pallas_train_block_enabled()
         finally:
             mesh_mod._active_mesh = prev
+
+    def test_sampling_auto_single_vs_mesh(self):
+        """MotionGenerator binds the forward-only block kernel's AUTO
+        decision: on without a mesh, off with one."""
+        import jax
+
+        import mdm_tpu.ops as ops
+        from mdm_tpu.diffusion import Schedule
+        from mdm_tpu.models import MDM, Conditioning, MDMConfig
+        from mdm_tpu.parallel import mesh as mesh_mod
+        from mdm_tpu.sampling import GenerationConfig, MotionGenerator
+
+        Bm, Tm = 8, 16
+        cfg = MDMConfig(njoints=26, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, num_heads=2)
+        model = MDM(cfg)
+        cond = Conditioning(frames_mask=jnp.ones((Bm, Tm), bool),
+                            text_embed=jnp.zeros((Bm, 32)))
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((Bm, Tm, 26)),
+                            jnp.zeros((Bm,), jnp.int32), cond)
+        sched = Schedule.create("cosine", 4)
+        gcfg = GenerationConfig(guidance_scale=1.0)
+
+        ops._set_auto_sample_block(False)
+        gen = MotionGenerator(model, params, sched, gcfg, "humanact12",
+                              norm_stats=None)
+        gen.sample_features(cond, Bm, Tm, jax.random.PRNGKey(1))
+        assert ops.pallas_sample_block_enabled()
+
+        prev = mesh_mod._active_mesh
+        try:
+            mesh = mesh_mod.make_mesh()
+            gen_mesh = MotionGenerator(model, params, sched, gcfg,
+                                       "humanact12", norm_stats=None,
+                                       mesh=mesh)
+            gen_mesh.sample_features(cond, Bm, Tm, jax.random.PRNGKey(1))
+            assert not ops.pallas_sample_block_enabled()
+        finally:
+            mesh_mod._active_mesh = prev
+            ops._set_auto_sample_block(False)
 
     def test_explicit_setting_wins_over_auto(self):
         import mdm_tpu.ops as ops
