@@ -59,6 +59,21 @@ class DenseParams(nn.Module):
         )
 
 
+class LayerNormParams(nn.Module):
+    """nn.LayerNorm-identical param tree ({scale, bias}) WITHOUT the math —
+    same trick as DenseParams: a fused Pallas kernel consumes the weights
+    while the checkpoint layout stays bit-compatible with nn.LayerNorm."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
 class MultiHeadAttention(nn.Module):
     """Scaled-dot-product attention matching torch.nn.MultiheadAttention.
 
@@ -226,6 +241,47 @@ def key_padding_bias(padding_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarra
     return jnp.where(padding_mask, neg, 0.0)[:, None, None, :]
 
 
+def _fused_tail(d_model, ff_size, dropout, activation, deterministic,
+                module, names):
+    """Fused-kernel layer tail (ops/encoder_tail.py) or None to fall back.
+
+    Declares the norm/linear params through LayerNormParams/DenseParams so
+    the checkpoint tree is bit-identical to the XLA branch; the returned
+    callable maps (x, attn_out) -> layer output. Covers the encoder tail
+    (norm1/linear1/linear2/norm2) and the decoder's cross-attn->FFN half
+    (norm2/linear1/linear2/norm3)."""
+    from ..ops import pallas_encoder_tail_enabled, tpu_backend
+
+    if activation is not gelu_exact:  # kernel hardcodes exact-erf GELU
+        return None
+    if not (pallas_encoder_tail_enabled(deterministic) and tpu_backend()):
+        return None
+    if d_model % 128 != 0 or ff_size % 128 != 0:
+        return None
+    if not deterministic and dropout <= 0.0:
+        return None  # the train variant exists for its in-kernel dropout
+    n1, l1, l2, n2 = names
+    g1, bl1 = LayerNormParams(d_model, name=n1)()
+    w1, b1 = DenseParams(d_model, ff_size, name=l1)()
+    w2, b2 = DenseParams(ff_size, d_model, name=l2)()
+    g2, bl2 = LayerNormParams(d_model, name=n2)()
+
+    if deterministic:
+        from ..ops.encoder_tail import fused_encoder_tail_inference
+
+        return lambda x, attn: fused_encoder_tail_inference(
+            x, attn, g1, bl1, w1, b1, w2, b2, g2, bl2)
+
+    from ..ops.encoder_tail import fused_encoder_tail
+
+    seed = jax.random.randint(
+        module.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+        dtype=jnp.int32,
+    )
+    return lambda x, attn: fused_encoder_tail(
+        x, attn, g1, bl1, w1, b1, w2, b2, g2, bl2, dropout, seed)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-LN encoder layer (torch default semantics)."""
 
@@ -242,6 +298,12 @@ class TransformerEncoderLayer(nn.Module):
             self.num_heads, self.d_model, self.dropout,
             compute_dtype=self.compute_dtype, name="self_attn",
         )(x, x, x, attn_bias=padding_bias, deterministic=deterministic)
+        tail = _fused_tail(
+            self.d_model, self.ff_size, self.dropout, self.activation,
+            deterministic, self, ("norm1", "linear1", "linear2", "norm2"),
+        )
+        if tail is not None:
+            return tail(x.astype(attn.dtype), attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         # dtype threads compute_dtype through LN + FFN: without it the f32
         # params promote activations back to f32 and the FFN matmuls (half
@@ -283,6 +345,12 @@ class TransformerDecoderLayer(nn.Module):
             self.num_heads, self.d_model, self.dropout,
             compute_dtype=self.compute_dtype, name="multihead_attn",
         )(tgt, memory, memory, attn_bias=memory_bias, deterministic=deterministic)
+        tail = _fused_tail(
+            self.d_model, self.ff_size, self.dropout, self.activation,
+            deterministic, self, ("norm2", "linear1", "linear2", "norm3"),
+        )
+        if tail is not None:
+            return tail(tgt.astype(cross.dtype), cross)
         cross = nn.Dropout(self.dropout)(cross, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=cdt)(tgt + cross)
 

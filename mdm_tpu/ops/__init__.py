@@ -10,10 +10,15 @@ from . import (  # noqa: F401
     attention_dropout,
     attention_train_block,
     attention_v2,
+    encoder_tail,
 )
 from .attention import fused_attention, xla_attention  # noqa: F401
 from .attention_dropout import fused_dropout_attention  # noqa: F401
 from .attention_train_block import fused_train_attention_block  # noqa: F401
+from .encoder_tail import (  # noqa: F401
+    fused_encoder_tail,
+    fused_encoder_tail_inference,
+)
 
 _PALLAS_ATTENTION = False
 _PALLAS_TRAIN_ATTENTION = False
@@ -117,3 +122,33 @@ def _set_auto_train_block(enabled: bool) -> None:
     multi-device steps in one process each trace with their own setting."""
     global _AUTO_TRAIN_BLOCK
     _AUTO_TRAIN_BLOCK = enabled
+
+
+# Tri-state like the block kernels; auto (None) rides the SAME
+# single-device signals make_train_step / MotionGenerator already assert.
+# Shipped ON (auto): slope-measured wins over block-kernel-only at the
+# flagship shape — train 39.9 -> 33.2 ms/step at B=128 bf16; sampling
+# 7.19 -> 5.91 (B=32) and 7.88 -> 6.22 (B=128) ms/sample
+# (docs/BENCHMARKS.md round-4 shootouts).
+_PALLAS_ENCODER_TAIL = None
+
+
+def enable_pallas_encoder_tail(enabled=True):
+    """Route the encoder-layer TAIL — dropout(attn) + residual + LN1 +
+    linear1/GELU/dropout/linear2/dropout + residual + LN2 — through one
+    fused Pallas program per batch cell (ops/encoder_tail.py; seed-replay
+    custom VJP in training, forward-only at rate 0 for sampling). The
+    decoder's cross-attn->FFN half (norm2/linear1/linear2/norm3) uses the
+    same kernel.
+
+    `None` is AUTO, following the train/sample block signals: on for
+    single-device steps/sampling, off under a multi-device mesh. Pass
+    True/False to pin either way."""
+    global _PALLAS_ENCODER_TAIL
+    _PALLAS_ENCODER_TAIL = enabled
+
+
+def pallas_encoder_tail_enabled(deterministic: bool) -> bool:
+    if _PALLAS_ENCODER_TAIL is None:
+        return _AUTO_SAMPLE_BLOCK if deterministic else _AUTO_TRAIN_BLOCK
+    return _PALLAS_ENCODER_TAIL

@@ -33,7 +33,7 @@ from mdm_tpu.sampling import GenerationConfig, MotionGenerator
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", choices=["xla", "pallas", "block"],
+    ap.add_argument("--variant", choices=["xla", "pallas", "block", "tail"],
                     required=True)
     ap.add_argument("--batch", type=int, default=128)
     args = ap.parse_args()
@@ -53,8 +53,13 @@ def main():
         # projection in one program (the rate-0 variant of the round-4
         # training winner) — models/layers.py use_sample_block branch.
         ops.enable_pallas_sample_block(True)
+        ops.enable_pallas_encoder_tail(False)
+    elif args.variant == "tail":  # block kernel + fused encoder tail
+        ops.enable_pallas_sample_block(True)
+        ops.enable_pallas_encoder_tail(True)
     else:
         ops.enable_pallas_sample_block(False)
+        ops.enable_pallas_encoder_tail(False)
 
     B, T = args.batch, 196
     cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=512, ff_size=1024,

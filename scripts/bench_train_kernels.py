@@ -45,7 +45,8 @@ from mdm_tpu.train import (
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", choices=["xla", "drop", "block"], required=True)
+    ap.add_argument("--variant", choices=["xla", "drop", "block", "tail"],
+                    required=True)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--n1", type=int, default=10)
     ap.add_argument("--n2", type=int, default=40)
@@ -58,10 +59,16 @@ def main():
     if args.variant == "drop":
         ops.enable_pallas_train_block(False)
         ops.enable_pallas_train_attention(True)
+        ops.enable_pallas_encoder_tail(False)
     elif args.variant == "block":
         ops.enable_pallas_train_block(True)
+        ops.enable_pallas_encoder_tail(False)
+    elif args.variant == "tail":  # block kernel + fused encoder tail
+        ops.enable_pallas_train_block(True)
+        ops.enable_pallas_encoder_tail(True)
     else:
         ops.enable_pallas_train_block(False)
+        ops.enable_pallas_encoder_tail(False)
 
     B, T = args.batch, 196
     cfg = MDMConfig(njoints=263, nfeats=1, latent_dim=512, ff_size=1024,

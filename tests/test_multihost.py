@@ -69,7 +69,7 @@ def _run_train_cli_multihost(data_dir, save_dir, extra_env=None):
 
     argv = [
         "--save_dir", save_dir, "--dataset", "humanml",
-        "--data_dir", data_dir, "--overwrite",
+        "--data_dir", data_dir, "--overwrite", "--use_ema",
         "--batch_size", "8", "--latent_dim", "32", "--layers", "2",
         "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
         "--log_interval", "1", "--seed", "7",
@@ -104,9 +104,12 @@ def test_train_cli_two_process_matches_single_process(tmp_path, synthetic_humanm
     # -- control: single process, 8 virtual devices (this test process).
     ctrl_dir = str(tmp_path / "ctrl")
     monkeypatch.setenv("MDM_TPU_TRAINING_TEST", "1")
+    # --use_ema so the checkpoint carries ema_params (opt-in since the
+    # EMA-parity change mirrored the reference's off-by-default use_ema)
+    # and the cross-topology comparison covers the EMA update too.
     train_cli.main([
         "--save_dir", ctrl_dir, "--dataset", "humanml",
-        "--data_dir", synthetic_humanml,
+        "--data_dir", synthetic_humanml, "--use_ema",
         "--batch_size", "8", "--latent_dim", "32", "--layers", "2",
         "--diffusion_steps", "8", "--num_steps", "2", "--save_interval", "2",
         "--log_interval", "1", "--seed", "7",
