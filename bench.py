@@ -111,7 +111,11 @@ def scaling_main():
         "metric": "dp_train_samples_per_s_per_chip",
         "value": round(B / dt / n, 1),
         "unit": f"samples/s/chip (n={n}, global_batch={B}, platform={jax.devices()[0].platform})",
-        "vs_baseline": None if not on_tpu else round((B / dt / n) / 690.0, 2),
+        # The reference publishes NO training throughput; there is no
+        # reference number to divide by, so vs_baseline is null and the
+        # self-relative ratio is labeled for what it is.
+        "vs_baseline": None,
+        "vs_own_round1_f32_690sps": None if not on_tpu else round((B / dt / n) / 690.0, 2),
     }))
 
     # DP sampling scaling: the eval-protocol generation path sharded over
@@ -271,11 +275,11 @@ def main():
 
 def train_main():
     """Second headline line: the fused training step at B=128 bf16
-    (flagship config), slope method. vs_baseline is the throughput ratio
-    against the round-1 f32 measurement (690 samples/s, docs/BENCHMARKS.md)
-    — the reference publishes no training throughput (1 GPU, 600k steps,
-    batch 64: /root/reference/utils/parser_util.py:79,151,169), so the
-    pinned baseline is our own first honest number."""
+    (flagship config), slope method. The reference publishes no training
+    throughput (1 GPU, 600k steps, batch 64:
+    /root/reference/utils/parser_util.py:79,151,169), so vs_baseline is
+    null; `vs_own_round1_f32_690sps` is the honestly-labeled self-relative
+    ratio against our round-1 f32 measurement (docs/BENCHMARKS.md)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -328,7 +332,12 @@ def train_main():
         "metric": "train_step_ms_b128_bf16",
         "value": round(dt * 1000, 2),
         "unit": f"ms/step (B={B}, flagship 512d/8L, samples/s={round(B / dt, 1)})",
-        "vs_baseline": round((B / dt) / 690.0, 2),
+        # The reference publishes NO training throughput (1 GPU, 600k steps,
+        # batch 64 — utils/parser_util.py:79,151,169), so vs_baseline is
+        # null; the self-relative ratio vs our own round-1 f32 number is
+        # labeled explicitly (VERDICT r4 item 5).
+        "vs_baseline": None,
+        "vs_own_round1_f32_690sps": round((B / dt) / 690.0, 2),
     }))
 
 
@@ -350,6 +359,9 @@ def _backend_alive(timeout_s: float = 120.0) -> bool:
 
 
 if __name__ == "__main__":
+    from mdm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     if not _backend_alive():
         print(json.dumps({
             "metric": "sec_per_sample_50step", "value": None,

@@ -57,6 +57,15 @@ def main(argv=None):
         frames_mask=jnp.ones((B, T), bool),
         text_embed=jnp.zeros((B, model.config.text_dim)),
     )
+    if model.config.is_prefix_comp:
+        # DiP checkpoints denoise pred_len-frame windows conditioned on a
+        # context_len prefix — init with those shapes (mdm.py asserts
+        # cond.prefix for prefix-completion models).
+        T = model.config.pred_len
+        cond0 = cond0.replace(
+            frames_mask=jnp.ones((B, T), bool),
+            prefix=jnp.zeros((B, model.config.context_len, D)),
+        )
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((B, T, D)), jnp.zeros((B,), jnp.int32), cond0
     )
@@ -81,7 +90,12 @@ def main(argv=None):
     gen = MotionGenerator(
         model, params, sched,
         GenerationConfig(guidance_scale=args.guidance_param,
-                         autoregressive=args.autoregressive),
+                         autoregressive=args.autoregressive,
+                         # DiP window geometry comes from the checkpoint's
+                         # args.json (model group) — the AR scan's prefix
+                         # carry must match the trained context_len.
+                         context_len=args.context_len or 20,
+                         pred_len=args.pred_len or args.context_len or 20),
         args.dataset,
         norm_stats=train_stats,
         mesh=auto_mesh(),

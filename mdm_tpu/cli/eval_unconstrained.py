@@ -25,7 +25,6 @@ def main(argv=None):
     from ..eval.stgcn import STGCN, STGCNConfig, convert_stgcn
     from ..models.mdm import Conditioning
     from ..sampling import GenerationConfig, MotionGenerator
-    from ..smpl import Rot2XYZConfig, SMPLModel, rot2xyz
     from ..train.checkpoints import find_resume_checkpoint, restore_params_only
     from ..utils.factory import create_model_and_schedule
     from ..utils.parser import evaluation_args
@@ -65,27 +64,39 @@ def main(argv=None):
     )
 
     degraded = []
-    try:
-        smpl = SMPLModel.load()
-        r2x_cfg = Rot2XYZConfig(jointstype="smpl", vertstrans=True)
-        get_xyz = jax.jit(lambda feats: rot2xyz(
-            smpl, feats.reshape(feats.shape[0], feats.shape[1], 25, 6), r2x_cfg))
-    except FileNotFoundError as e:
-        # Without the SMPL asset there is no xyz decode; reinterpret the raw
-        # rotation features as pseudo-joints so the protocol still runs end
-        # to end — stamped non-comparable below.
-        print(f"WARNING: SMPL asset missing ({e}); pseudo-joint features")
-        degraded.append("no-smpl-asset")
-        get_xyz = jax.jit(lambda feats: feats[..., :72].reshape(
-            feats.shape[0], feats.shape[1], 24, 3))
+    from ..eval.a2m_setup import unconstrained_xyz_fn
 
-    # STGCN feature extractor (modified-structure checkpoint, frozen).
+    get_xyz, xyz_degraded = unconstrained_xyz_fn(num_frames)
+    if xyz_degraded:
+        # Without the SMPL asset there is no xyz decode; pseudo-joint
+        # features keep the protocol running — stamped non-comparable.
+        print("WARNING: SMPL asset missing; pseudo-joint features")
+        degraded.append("no-smpl-asset")
+
+    # STGCN feature extractor: converted reference checkpoint when present;
+    # else a SELF-TRAINED modi-15 STGCN (--a2m_classifier_path, produced by
+    # `train_evaluators --stage unconstrained_stgcn`) — functional metrics,
+    # stamped non-comparable to the published tables; else random init.
     stg_cfg = STGCNConfig(in_channels=3, num_class=12, layout="openpose_modi15",
                           edge_importance=True)
     stgcn = STGCN(stg_cfg)
     clf_path = os.path.join("assets", "actionrecognition",
                             "humanact12_gru_modi_struct.pth.tar")
-    if os.path.exists(clf_path):
+    self_trained = bool(getattr(args, "a2m_classifier_path", ""))
+    if self_trained:
+        from ..eval.train_evaluators import load_evaluator_params
+
+        blob = load_evaluator_params(args.a2m_classifier_path)
+        assert blob.get("arch") == "stgcn_modi15", (
+            f"--a2m_classifier_path {args.a2m_classifier_path} is not an "
+            f"unconstrained_stgcn evaluator (arch={blob.get('arch')!r}); "
+            f"train one with `train_evaluators --stage unconstrained_stgcn`")
+        stg_cfg = STGCNConfig(in_channels=3,
+                              num_class=int(blob["num_actions"]),
+                              layout="openpose_modi15", edge_importance=True)
+        stgcn = STGCN(stg_cfg)
+        stg_params = blob["params"]
+    elif os.path.exists(clf_path):
         import torch
 
         sd = torch.load(clf_path, map_location="cpu", weights_only=False)
@@ -119,7 +130,13 @@ def main(argv=None):
         np.concatenate(gen_feats), np.concatenate(gt_feats),
         fast=(args.eval_mode == "debug"),
     )
-    metrics["comparable"] = not degraded
+    # Non-comparable to published tables when degraded OR when scoring with
+    # a self-trained feature extractor (functional, different metric model).
+    metrics["comparable"] = not degraded and not self_trained
+    metrics["classifier"] = ("self-trained" if self_trained
+                             else "random-init"
+                             if "random-init-stgcn-features" in degraded
+                             else "reference-frozen")
     if degraded:
         metrics["degraded_reasons"] = degraded
     out_path = os.path.join(os.path.dirname(ckpt), "eval_unconstrained.json")

@@ -159,6 +159,77 @@ def _train_a2m_classifier(args):
     print(f"saved {args.save_path}")
 
 
+def _train_unconstrained_stgcn(args):
+    """Train the modified-structure 15-joint STGCN for the UNCONSTRAINED
+    protocol (the reference only SHIPS it frozen as
+    assets/actionrecognition/humanact12_gru_modi_struct.pth.tar and never
+    the trainer — eval/unconstrained/evaluate.py:24-37 loads it). Action
+    classification on root-centered openpose-15 xyz; the penultimate
+    features feed FID/KID/precision-recall. The xyz decode is shared with
+    cli/eval_unconstrained.py (a2m_setup.unconstrained_xyz_fn) so training
+    and scoring see identical inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import BatchIterator, get_dataset
+    from ..eval.a2m_setup import StgcnAdapter, unconstrained_xyz_fn
+    from ..eval.harness_a2m import UNCONSTRAINED_JOINT_SUBSET
+    from ..eval.stgcn import STGCN, STGCNConfig
+    from ..eval.train_evaluators import (
+        EvalTrainConfig,
+        make_a2m_classifier_step,
+        run_training,
+        save_evaluator_params,
+    )
+
+    num_frames = 60
+    dataset = get_dataset("humanact12", num_frames=num_frames,
+                          data_root=args.data_dir or None)
+    get_xyz, degraded = unconstrained_xyz_fn(num_frames)
+    if degraded:
+        print("unconstrained_stgcn: SMPL asset missing; training on "
+              "pseudo-joint features (stamped in the saved .npy)")
+    subset = jnp.asarray(UNCONSTRAINED_JOINT_SUBSET)
+
+    to_inputs = jax.jit(lambda xyz: (
+        xyz[:, :, subset] - xyz[:, :1, subset][:, :, 8:9]))
+
+    cfg = STGCNConfig(in_channels=3, num_class=dataset.num_actions,
+                      layout="openpose_modi15", edge_importance=True)
+    clf = StgcnAdapter(STGCN(cfg))
+
+    def batches(seed=args.seed):
+        while True:
+            it = BatchIterator(dataset, args.batch_size, shuffle=True,
+                               seed=seed, infinite=False)
+            for b in it:
+                yield {
+                    "x": to_inputs(get_xyz(jnp.asarray(b["x"]))),
+                    "lengths": jnp.asarray(np.asarray(b["lengths"], np.int32)),
+                    "y": jnp.asarray(np.asarray(b["action"], np.int32)),
+                }
+            seed += 1
+
+    init, step = make_a2m_classifier_step(
+        clf, 3, num_frames, EvalTrainConfig(lr=args.lr),
+        example_x=jnp.zeros((1, num_frames, 15, 3)))
+    bb = batches()
+    if args.cache_batches > 0:
+        from ..data.loader import cache_device_batches
+
+        bb = cache_device_batches(bb, args.cache_batches)
+    params, _ = run_training(init, step, bb, args.num_steps,
+                             jax.random.PRNGKey(args.seed),
+                             log_every=args.log_every)
+    save_evaluator_params(args.save_path, {
+        "params": params, "feature": "pseudo" if degraded else "xyz",
+        "num_actions": dataset.num_actions, "arch": "stgcn_modi15",
+        "layout": "openpose_modi15", "in_channels": 3,
+    })
+    print(f"saved {args.save_path}")
+
+
 def main(argv=None):
     import argparse
 
@@ -186,7 +257,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
                     choices=["decomp", "match", "length", "comp_v6",
-                             "a2m_classifier"])
+                             "a2m_classifier", "unconstrained_stgcn"])
     ap.add_argument("--dataset", default="humanml",
                     choices=["humanml", "kit", "humanact12", "uestc"])
     ap.add_argument("--data_dir", default="")
@@ -221,6 +292,11 @@ def main(argv=None):
         assert args.dataset in ("humanact12", "uestc"), \
             "--stage a2m_classifier needs an action dataset"
         _train_a2m_classifier(args)
+        return
+    if args.stage == "unconstrained_stgcn":
+        assert args.dataset == "humanact12", \
+            "--stage unconstrained_stgcn is a HumanAct12 protocol"
+        _train_unconstrained_stgcn(args)
         return
     assert args.dataset in ("humanml", "kit"), \
         f"--stage {args.stage} needs a t2m dataset"

@@ -257,3 +257,28 @@ def make_a2m_loaders_factory(
         return {"gt": gt1, "gt2": gt2, "gen": genb}
 
     return make_loaders
+
+
+def unconstrained_xyz_fn(num_frames: int = 60):
+    """xyz decode for the UNCONSTRAINED protocol (reference
+    eval/unconstrained/evaluate.py:57-110 feeds SMPL xyz): SMPL rot2xyz when
+    the body-model asset exists, else the pseudo-joint fallback (first 72
+    raw rotation features reshaped [B,T,24,3]) so the protocol still runs
+    end to end. Returns (jitted fn feats->xyz [B,T,24,3], degraded: bool).
+    Shared by cli/eval_unconstrained.py and the unconstrained_stgcn
+    evaluator-training stage so both sides of the metric see the SAME
+    joint decode."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (used inside the jitted lambdas)
+
+    from ..smpl import Rot2XYZConfig, SMPLModel, rot2xyz
+
+    try:
+        smpl = SMPLModel.load()
+        r2x_cfg = Rot2XYZConfig(jointstype="smpl", vertstrans=True)
+        return jax.jit(lambda feats: rot2xyz(
+            smpl, feats.reshape(feats.shape[0], feats.shape[1], 25, 6),
+            r2x_cfg)), False
+    except FileNotFoundError:
+        return jax.jit(lambda feats: feats[..., :72].reshape(
+            feats.shape[0], feats.shape[1], 24, 3)), True

@@ -101,19 +101,23 @@ class MultiHeadAttention(nn.Module):
         cdt = self.compute_dtype or query.dtype
 
         from ..ops import (
+            kernel_backend_ok,
             pallas_attention_enabled,
+            pallas_interpret,
             pallas_sample_block_enabled,
             pallas_train_attention_enabled,
             pallas_train_block_enabled,
-            tpu_backend,
+            shard_seed_offset,
         )
+
+        interp = pallas_interpret()
 
         # Deterministic whole-block path (sampling/eval): projections +
         # attention + out projection in one forward-only Pallas program
         # (ops/attention_train_block.py::fused_block_attention_inference).
         use_sample_block = (
             pallas_sample_block_enabled()
-            and tpu_backend()
+            and kernel_backend_ok()
             and deterministic  # forward-only kernel: no VJP, sampling/eval only
             and query is key and key is value  # self-attention only
             and (attn_bias is None or attn_bias.shape[-2] == 1)
@@ -130,10 +134,11 @@ class MultiHeadAttention(nn.Module):
             wo, bo = DenseParams(D, D, name="out_proj")()
             kpm = None
             if attn_bias is not None:
-                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[:, -key.shape[1]:] < -1e8
+                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[
+                    :, -key.shape[1]:].astype(jnp.float32)
             return fused_block_attention_inference(
                 query.astype(cdt), wq, bq, wk, bk, wv, bv, wo, bo,
-                H, key_padding_mask=kpm,
+                H, key_padding_mask=kpm, interpret=interp,
             )
 
         # Whole-block training path: q/k/v/out projections + attention +
@@ -142,9 +147,11 @@ class MultiHeadAttention(nn.Module):
         # (ops/attention_train_block.py, flash-style seed-replay VJP).
         use_train_block = (
             pallas_train_block_enabled()
-            and tpu_backend()  # kernel uses the TPU PRNG
+            and kernel_backend_ok()  # kernel uses the TPU PRNG (except rate 0)
             and not deterministic
-            and self.dropout > 0.0
+            # rate 0 is allowed under interpret: it draws no bits, which is
+            # what makes the shard_map kernel path CPU-testable end to end.
+            and (self.dropout > 0.0 or interp)
             and query is key and key is value  # self-attention only
             and (attn_bias is None or attn_bias.shape[-2] == 1)
             and D % 128 == 0
@@ -158,14 +165,17 @@ class MultiHeadAttention(nn.Module):
             wo, bo = DenseParams(D, D, name="out_proj")()
             kpm = None
             if attn_bias is not None:
-                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[:, -key.shape[1]:] < -1e8
+                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[
+                    :, -key.shape[1]:].astype(jnp.float32)
+            # Under shard_map the offset makes the per-cell kernel seeds
+            # equal to the single-device run's (see ops.shard_seed_offset).
             seed = jax.random.randint(
                 self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
                 dtype=jnp.int32,
-            )
+            ) + shard_seed_offset(query.shape[0])
             return fused_train_attention_block(
                 query.astype(cdt), wq, bq, wk, bk, wv, bv, wo, bo,
-                H, self.dropout, seed, key_padding_mask=kpm,
+                H, self.dropout, seed, key_padding_mask=kpm, interpret=interp,
             )
 
         q = nn.Dense(D, name="q_proj", dtype=cdt)(query)
@@ -176,7 +186,7 @@ class MultiHeadAttention(nn.Module):
         # [B,H,S,S] prob/mask tensors in HBM, flash-style custom VJP).
         use_dropout_kernel = (
             pallas_train_attention_enabled()
-            and tpu_backend()  # kernel uses the TPU PRNG
+            and kernel_backend_ok()  # kernel uses the TPU PRNG
             and not deterministic
             and self.dropout > 0.0
             and query.shape[1] == key.shape[1]
@@ -188,13 +198,15 @@ class MultiHeadAttention(nn.Module):
 
             kpm = None
             if attn_bias is not None:
-                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[:, -key.shape[1]:] < -1e8
+                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[
+                    :, -key.shape[1]:].astype(jnp.float32)
             seed = jax.random.randint(
                 self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
                 dtype=jnp.int32,
-            )
+            ) + shard_seed_offset(query.shape[0])
             out = fused_dropout_attention(
-                q, k, v, H, self.dropout, seed, key_padding_mask=kpm
+                q, k, v, H, self.dropout, seed, key_padding_mask=kpm,
+                interpret=interp,
             )
             return nn.Dense(D, name="out_proj", dtype=cdt)(out.astype(cdt))
 
@@ -212,8 +224,10 @@ class MultiHeadAttention(nn.Module):
 
             kpm = None
             if attn_bias is not None:
-                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[:, -key.shape[1]:] < -1e8
-            out = fused_attention_v2(q, k, v, H, key_padding_mask=kpm)
+                kpm = attn_bias.reshape(attn_bias.shape[0], -1)[
+                    :, -key.shape[1]:].astype(jnp.float32)
+            out = fused_attention_v2(q, k, v, H, key_padding_mask=kpm,
+                                     interpret=interp)
             out = out.astype(cdt)
             return nn.Dense(D, name="out_proj", dtype=cdt)(out)
 
@@ -250,16 +264,23 @@ def _fused_tail(d_model, ff_size, dropout, activation, deterministic,
     callable maps (x, attn_out) -> layer output. Covers the encoder tail
     (norm1/linear1/linear2/norm2) and the decoder's cross-attn->FFN half
     (norm2/linear1/linear2/norm3)."""
-    from ..ops import pallas_encoder_tail_enabled, tpu_backend
+    from ..ops import (
+        kernel_backend_ok,
+        pallas_encoder_tail_enabled,
+        pallas_interpret,
+        shard_seed_offset,
+    )
 
+    interp = pallas_interpret()
     if activation is not gelu_exact:  # kernel hardcodes exact-erf GELU
         return None
-    if not (pallas_encoder_tail_enabled(deterministic) and tpu_backend()):
+    if not (pallas_encoder_tail_enabled(deterministic) and kernel_backend_ok()):
         return None
     if d_model % 128 != 0 or ff_size % 128 != 0:
         return None
-    if not deterministic and dropout <= 0.0:
-        return None  # the train variant exists for its in-kernel dropout
+    if not deterministic and dropout <= 0.0 and not interp:
+        return None  # the train variant exists for its in-kernel dropout;
+        # rate 0 is allowed under interpret (draws no bits — CPU-testable)
     n1, l1, l2, n2 = names
     g1, bl1 = LayerNormParams(d_model, name=n1)()
     w1, b1 = DenseParams(d_model, ff_size, name=l1)()
@@ -270,7 +291,7 @@ def _fused_tail(d_model, ff_size, dropout, activation, deterministic,
         from ..ops.encoder_tail import fused_encoder_tail_inference
 
         return lambda x, attn: fused_encoder_tail_inference(
-            x, attn, g1, bl1, w1, b1, w2, b2, g2, bl2)
+            x, attn, g1, bl1, w1, b1, w2, b2, g2, bl2, interpret=interp)
 
     from ..ops.encoder_tail import fused_encoder_tail
 
@@ -278,8 +299,12 @@ def _fused_tail(d_model, ff_size, dropout, activation, deterministic,
         module.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
         dtype=jnp.int32,
     )
+    # shard_map offset applied at call time (local batch known then); see
+    # ops.shard_seed_offset — makes sharded kernel dropout bitwise equal to
+    # the single-device run.
     return lambda x, attn: fused_encoder_tail(
-        x, attn, g1, bl1, w1, b1, w2, b2, g2, bl2, dropout, seed)
+        x, attn, g1, bl1, w1, b1, w2, b2, g2, bl2, dropout,
+        seed + shard_seed_offset(x.shape[0]), interpret=interp)
 
 
 class TransformerEncoderLayer(nn.Module):

@@ -24,14 +24,19 @@ _PALLAS_ATTENTION = False
 _PALLAS_TRAIN_ATTENTION = False
 # None = auto: make_train_step turns the fused train-block kernel ON for
 # single-device steps (it beats XLA by ~9% at the flagship shape, measured
-# in docs/BENCHMARKS.md) and OFF under a multi-device mesh, where a
-# pallas_call is not SPMD-partitionable and would force XLA to gather the
-# batch. An explicit enable_pallas_train_block(True/False) always wins.
+# in docs/BENCHMARKS.md) AND for multi-device pure-DP meshes, where the
+# step wraps the loss+grad in `jax.shard_map` over the batch axes so each
+# shard runs its own pallas_call (a bare pallas_call has no SPMD
+# partitioning rule — the shard_map wrapper is what carries the kernel win
+# onto meshes; r5). Only tensor-parallel ('model'-axis) meshes keep the
+# XLA path, where Megatron sharding splits the very matmuls the kernel
+# fuses. An explicit enable_pallas_train_block(True/False) always wins.
 _PALLAS_TRAIN_BLOCK = None
 _AUTO_TRAIN_BLOCK = False
 # Same tri-state as the train block: None = auto (MotionGenerator turns it
 # on for single-device sampling — it wins at both measured batch sizes,
-# docs/BENCHMARKS.md — and off on a multi-device mesh).
+# docs/BENCHMARKS.md — and for DP-mesh sampling via the same shard_map
+# wrapper; off for TP sampling).
 _PALLAS_SAMPLE_BLOCK = None
 _AUTO_SAMPLE_BLOCK = False
 
@@ -43,6 +48,71 @@ def tpu_backend() -> bool:
     import jax
 
     return jax.default_backend() in ("tpu", "axon")
+
+
+# --------------------------------------------------------------------------
+# Interpret mode (tests): run the kernels through the Pallas CPU interpreter
+# end to end THROUGH the model layers, so the shard_map kernel path can be
+# numerics-tested on the virtual 8-device CPU mesh. The TPU PRNG has no
+# interpret lowering, so interpret runs are only valid where no bits are
+# drawn (rate-0 / inference kernels) — exactly what the parity tests use.
+_PALLAS_INTERPRET = False
+
+
+def enable_pallas_interpret(enabled: bool = True):
+    global _PALLAS_INTERPRET
+    _PALLAS_INTERPRET = enabled
+
+
+def pallas_interpret() -> bool:
+    return _PALLAS_INTERPRET
+
+
+def kernel_backend_ok() -> bool:
+    """Layer gate: kernels need real TPU hardware, or interpret mode."""
+    return tpu_backend() or _PALLAS_INTERPRET
+
+
+# --------------------------------------------------------------------------
+# shard_map support: when the train step / sampler wraps the model in a
+# `jax.shard_map` over the mesh's batch axes, each shard runs its own
+# pallas_call (a pallas_call has no SPMD partitioning rule, but per-shard
+# programs need none). The wrapping code declares the batch axis names here
+# at trace time; the layers then offset the kernels' PRNG seeds by
+# (linear shard index) * local_batch. Both fused kernels seed per batch
+# cell as `seed + program_id(0)`, so shard k's cell b seeds with
+# seed + k*B_local + b == seed + b_global — the sharded kernel path is
+# BITWISE identical to the single-device kernel path, and shards are
+# decorrelated for free.
+_SHARD_BATCH_AXES = None
+
+
+def _set_shard_batch_axes(axes) -> None:
+    """Declared by the shard_map body (trace time only); None clears."""
+    global _SHARD_BATCH_AXES
+    _SHARD_BATCH_AXES = tuple(axes) if axes else None
+
+
+def shard_batch_axes():
+    return _SHARD_BATCH_AXES
+
+
+def shard_seed_offset(local_batch: int):
+    """PRNG seed offset for the current shard: linear_shard_index * B_local
+    (0 outside shard_map). int32 wraparound matches the kernels' own
+    per-cell `seed + b` arithmetic, so parity with the single-device run
+    survives overflow too."""
+    import jax
+    import jax.numpy as jnp
+
+    axes = _SHARD_BATCH_AXES
+    if not axes:
+        return jnp.int32(0)
+    idx = jnp.int32(0)
+    for name in axes:
+        size = jax.lax.psum(1, name)  # axis size, available on any backend
+        idx = idx * size + jax.lax.axis_index(name)
+    return idx * jnp.int32(local_batch)
 
 
 def enable_pallas_attention(enabled: bool = True):

@@ -1,5 +1,9 @@
 """Pallas TPU kernel: fused multi-head attention for short sequences.
 
+STATUS: HISTORICAL (measured negative result — loses to XLA; kept opt-in.
+Shipped kernels: attention_train_block.py + encoder_tail.py. See
+docs/DESIGN.md 'Kernel inventory').
+
 The MDM denoiser attends over <=~224 tokens (196 frames + condition tokens)
 at head_dim 128 — the whole (S, Dh) tile of one (batch, head) fits in VMEM
 with room to spare. This kernel fuses QK^T -> bias add -> softmax -> PV into

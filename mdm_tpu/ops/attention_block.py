@@ -1,5 +1,8 @@
 """Pallas fused attention BLOCK: q/k/v projections + attention + out-proj.
 
+STATUS: HISTORICAL (forward-only precursor of attention_train_block.py,
+which ships instead. Kept opt-in. See docs/DESIGN.md 'Kernel inventory').
+
 Third iteration of the attention kernel line (see docs/DESIGN.md §7): v1/v2
 lose end-to-end because any pallas_call boundary forces q/k/v to round-trip
 HBM while XLA fuses them away. This kernel moves the whole attention block

@@ -1,5 +1,9 @@
 """Pallas fused attention with in-kernel dropout, for the TRAINING path.
 
+STATUS: HISTORICAL (superseded by attention_train_block.py; its bits-dump
+utilities still back the train-block tests. See docs/DESIGN.md 'Kernel
+inventory').
+
 Motivation (docs/BENCHMARKS.md, round-3): attention-prob dropout costs the
 fused train step ~10 ms at B=128 (48.7 vs the 39.0 ms no-dropout floor) and
 neither rbg re-keying, operand-passed masks, nor remat recovers it — the
@@ -33,6 +37,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ._mask import row_bias_contrib
 
 _LANE = 128
 _SUBLANE = 16
@@ -281,7 +287,7 @@ def _pad_operands(q, k, v, num_heads, key_padding_mask, pad_multiple=None):
     mask_row = mask_row.at[:, :, S:].set(-1e9)
     if key_padding_mask is not None:
         mask_row = mask_row.at[:, 0, :S].add(
-            jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
+            row_bias_contrib(key_padding_mask)
         )
     return qp, kp, vp, mask_row
 
@@ -293,7 +299,7 @@ def fused_dropout_attention(
     num_heads: int,
     rate: float,
     seed,
-    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool, True=ignore
+    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool True=ignore, or additive f32 row
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Training attention with prob-dropout, differentiable (custom VJP)."""

@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ._mask import row_bias_contrib
+
 _SUBLANE = 16  # bf16 sublane multiple; also a multiple of the f32 one (8)
 
 
@@ -129,7 +131,10 @@ def _bwd_kernel(num_heads, rate, use_prng, *refs):
          dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
          dwo_ref, dbo_ref) = refs
         bits_ref = None
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        if rate > 0.0:  # static: mirror the forward — at rate 0 no bits are
+            # drawn there, so the replay must not seed/draw either (a draw
+            # would zero a kept element with p=2^-32 per element).
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     else:
         (x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
          wo_ref, m_ref, bits_ref, do_ref,
@@ -178,9 +183,12 @@ def _bwd_kernel(num_heads, rate, use_prng, *refs):
             preferred_element_type=jnp.float32,
         ) * scale + mask[None, :]
         p = _softmax_rows(logits)
-        # Replay the IDENTICAL bit sequence as the forward.
-        bits = _head_bits(h, (S, S), use_prng, bits_ref)
-        keepf = jnp.where(bits < thr, inv_keep, 0.0)
+        if rate > 0.0:
+            # Replay the IDENTICAL bit sequence as the forward.
+            bits = _head_bits(h, (S, S), use_prng, bits_ref)
+            keepf = jnp.where(bits < thr, inv_keep, 0.0)
+        else:  # static: forward drew no bits at rate 0 — neither do we
+            keepf = jnp.float32(1.0)
         w16 = (p * keepf).astype(dt)  # [S, S]
         dctx_h = dctx[:, sl].astype(dt)  # [S, Dh]
         # dWo rows for this head: ctx_h^T @ dO
@@ -355,11 +363,11 @@ def _block_core_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, seed,
                     num_heads, rate, interpret):
     out = _call_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, seed, None,
                     num_heads, rate, interpret)
-    return out, (x, wq, bq, wk, bk, wv, bv, wo, mask_row, seed)
+    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, seed)
 
 
 def _block_core_bwd(num_heads, rate, interpret, res, do):
-    x, wq, bq, wk, bk, wv, bv, wo, mask_row, seed = res
+    x, wq, bq, wk, bk, wv, bv, wo, bo, mask_row, seed = res
     (dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo) = _call_bwd(
         x, wq, bq, wk, bk, wv, bv, wo, mask_row, seed, None, do,
         num_heads, rate, interpret,
@@ -368,7 +376,7 @@ def _block_core_bwd(num_heads, rate, interpret, res, do):
     dseed = np.zeros(seed.shape, jax.dtypes.float0)  # integer input
     return (dx, cast(dwq, wq), cast(dbq, bq), cast(dwk, wk), cast(dbk, bk),
             cast(dwv, wv), cast(dbv, bv), cast(dwo, wo),
-            cast(dbo, bq), jnp.zeros_like(mask_row), dseed)
+            cast(dbo, bo), jnp.zeros_like(mask_row), dseed)
 
 
 _block_core.defvjp(_block_core_fwd, _block_core_bwd)
@@ -380,7 +388,7 @@ def fused_train_attention_block(
     num_heads: int,
     rate: float,
     seed,
-    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool True=ignore
+    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool True=ignore, or additive f32 row
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole training attention block with prob-dropout, differentiable."""
@@ -390,7 +398,7 @@ def fused_train_attention_block(
     mask_row = jnp.zeros((B, 1, S_pad), jnp.float32).at[:, :, S:].set(-1e9)
     if key_padding_mask is not None:
         mask_row = mask_row.at[:, 0, :S].add(
-            jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
+            row_bias_contrib(key_padding_mask)
         )
     dt = x.dtype
     as2 = lambda b: b.reshape(1, D).astype(dt)
@@ -407,7 +415,7 @@ def fused_block_attention_inference(
     x: jnp.ndarray,  # [B, S, D] heads packed in D
     wq, bq, wk, bk, wv, bv, wo, bo,
     num_heads: int,
-    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool True=ignore
+    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool True=ignore, or additive f32 row
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Forward-only whole attention block for SAMPLING (rate=0, no PRNG).
@@ -426,7 +434,7 @@ def fused_block_attention_inference(
     mask_row = jnp.zeros((B, 1, S_pad), jnp.float32).at[:, :, S:].set(-1e9)
     if key_padding_mask is not None:
         mask_row = mask_row.at[:, 0, :S].add(
-            jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
+            row_bias_contrib(key_padding_mask)
         )
     dt = x.dtype
     as2 = lambda b: b.reshape(1, D).astype(dt)

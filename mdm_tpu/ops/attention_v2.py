@@ -1,5 +1,9 @@
 """Pallas fused attention v2: batch-tiled, heads looped in-kernel.
 
+STATUS: HISTORICAL (measured: wins B=32 sampling, loses B=128; superseded
+by the whole-block kernel. Kept opt-in. See docs/DESIGN.md 'Kernel
+inventory').
+
 Motivated by a profiler trace of the sampling scan (docs/DESIGN.md §7): the
 per-layer attention chain is XLA's most expensive fusion (~0.28 ms/layer/
 step at B=64, S=197) while all gemms run at MXU peak. This kernel:
@@ -22,6 +26,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ._mask import row_bias_contrib
 
 _LANE = 128
 
@@ -80,7 +86,7 @@ def fused_attention_v2(
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_heads: int,
-    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool, True=ignore
+    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] bool True=ignore, or additive f32 row
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, S, D = q.shape
@@ -95,7 +101,7 @@ def fused_attention_v2(
     mask_row = mask_row.at[:, :, S:].set(-1e9)
     if key_padding_mask is not None:
         mask_row = mask_row.at[:, 0, :S].add(
-            jnp.where(key_padding_mask, -1e9, 0.0).astype(jnp.float32)
+            row_bias_contrib(key_padding_mask)
         )
 
     out = _fused_attention_v2(qp, kp, vp, mask_row, num_heads, interpret)

@@ -79,7 +79,21 @@ def restore_pytree_numpy(path: str):
     restore_args = jax.tree_util.tree_map(
         lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
     )
-    return ckptr.restore(path, restore_args=restore_args)
+    restored = ckptr.restore(path, restore_args=restore_args)
+    # Shape sanity check (ADVICE r4): the `meta.tree` probe above depends on
+    # the orbax version's metadata layout — if an upgrade changes it, the
+    # tree_map over restore_args could mis-shape silently. The restored tree
+    # must structurally match the metadata we derived restore_args from.
+    if (jax.tree_util.tree_structure(restored)
+            != jax.tree_util.tree_structure(tree)):
+        raise RuntimeError(
+            f"orbax metadata/restore structure mismatch for {path}: the "
+            f"PyTreeCheckpointer metadata layout this code probes "
+            f"(`item_metadata.tree`) no longer matches what restore returns "
+            f"— likely an orbax-checkpoint version change; update "
+            f"restore_pytree_numpy for the new metadata shape."
+        )
+    return restored
 
 
 def restore_params_only(path: str, params_target, use_ema: bool = True):

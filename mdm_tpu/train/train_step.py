@@ -76,15 +76,104 @@ def make_train_step(
     target_cond_fn: Optional[Callable] = None,
     use_shardings: bool = True,
     state_shardings: Optional[Any] = None,
+    shard_map_kernels: Optional[bool] = None,
 ):
     """Build the jitted train step.
 
     apply_fn(params, x, t, cond, rngs=...) -> model output  (flax apply)
     Returns step(state, batch, key) -> (state, metrics). `batch` is a dict
     with `x [B,T,D]`, `mask [B,T]` and a `cond: Conditioning` pytree.
+
+    shard_map_kernels: on a pure-DP mesh (no tensor-parallel state
+    shardings, 'model' axis of size 1) the loss+grad computation can run
+    under `jax.shard_map` over the batch axes — each shard then executes
+    its own pallas_call, so the fused train-block + encoder-tail kernels
+    (the measured single-device winners, docs/BENCHMARKS.md) carry onto
+    multi-device meshes instead of silently falling back to XLA
+    (VERDICT r4 item 1). None = auto: shard_map on TPU DP meshes, plain
+    GSPMD jit elsewhere. True forces it (tests use this on the virtual CPU
+    mesh with interpret-mode kernels); False pins the old GSPMD path.
+    The kernels' per-shard PRNG seeds are offset by shard_index*local_B
+    (ops.shard_seed_offset), making the sharded kernel path BITWISE
+    identical to the single-device kernel path.
     """
     tx = make_optimizer(config.optim)
     loss_aware = config.schedule_sampler == "loss-second-moment"
+
+    # ---- mesh/shard_map decision (resolved at build time) -----------------
+    mesh = get_mesh() if use_shardings else None
+    use_sm = False
+    axes_t = ()
+    if mesh is not None and mesh.size > 1:
+        from .. import ops as _ops
+        from ..parallel.mesh import MODEL_AXIS, batch_axes
+
+        axes = batch_axes(mesh)
+        axes_t = (axes,) if isinstance(axes, str) else tuple(axes)
+        can_sm = (state_shardings is None
+                  and dict(mesh.shape).get(MODEL_AXIS, 1) == 1)
+        if shard_map_kernels is None:
+            use_sm = can_sm and _ops.kernel_backend_ok()
+        elif shard_map_kernels:
+            if not can_sm:
+                raise ValueError(
+                    "shard_map_kernels=True needs a pure-DP mesh (no "
+                    "tensor-parallel state shardings; 'model' axis size 1) "
+                    f"— got mesh {dict(mesh.shape)}, state_shardings="
+                    f"{state_shardings is not None}"
+                )
+            use_sm = True
+
+    def _sm_grads(params, x_t, x_start, t, noise, weights, mask3, cond,
+                  key_dropout):
+        """loss+grad under shard_map: per-shard model forward/backward (the
+        Pallas kernels run per shard), psum'd grads/loss, per-example loss
+        terms returned globally for the unchanged metric/loss-aware code."""
+        from .. import ops as _ops
+
+        B = x_start.shape[0]
+        bspec = P(axes_t[0] if len(axes_t) == 1 else axes_t)
+
+        def local_fn(params, x_t, x_start, t, noise, weights, mask3, cond,
+                     key_dropout):
+            _ops._set_shard_batch_axes(axes_t)
+            try:
+                # Rebuild the goal-loss closure from the LOCAL cond so its
+                # captured arrays are per-shard (goal_cond builder only
+                # reads batch["cond"]).
+                tlf = (target_loss_builder({"cond": cond})
+                       if target_loss_builder is not None else None)
+
+                def loss_fn(p):
+                    model_out = apply_fn(
+                        {"params": p}, x_t, sched.model_timesteps(t), cond,
+                        False, rngs={"dropout": key_dropout},
+                    )
+                    terms = training_losses(
+                        sched, model_out, x_start, x_t, t, noise, mask3,
+                        config.loss, get_xyz=get_xyz, target_loss_fn=tlf,
+                    )
+                    # Local partial of the GLOBAL batch mean.
+                    return jnp.sum(weights * terms["loss"]) / B, terms
+
+                (loss, terms), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                return (jax.lax.psum(loss, axes_t), terms,
+                        jax.lax.psum(grads, axes_t))
+            finally:
+                _ops._set_shard_batch_axes(None)
+
+        return jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            # pallas_call's out_shape carries no vma info; the kernels are
+            # the whole point of this wrapper, so the vma check is off and
+            # replication of the psum'd outputs is guaranteed by the psums.
+            check_vma=False,
+            in_specs=(P(), bspec, bspec, bspec, bspec, bspec, bspec, bspec,
+                      P()),
+            out_specs=(P(), bspec, P()),
+        )(params, x_t, x_start, t, noise, weights, mask3, cond, key_dropout)
 
     def step(state: TrainState, batch: Dict[str, Any], key: jax.Array,
              sampler_state: Optional[LossAwareState] = None):
@@ -123,27 +212,35 @@ def make_train_step(
         else:
             cond = cond.replace(frames_mask=mask)
 
-        target_loss_fn = (
-            target_loss_builder(batch) if target_loss_builder is not None else None
-        )
-
-        def loss_fn(params):
-            model_out = apply_fn(
-                {"params": params},
-                x_t,
-                sched.model_timesteps(t),
-                cond,
-                False,  # deterministic=False: enable dropout
-                rngs={"dropout": key_dropout},
+        if use_sm:
+            loss, terms, grads = _sm_grads(
+                state.params, x_t, x_start, t, noise, weights,
+                mask[..., None], cond, key_dropout,
             )
-            terms = training_losses(
-                sched, model_out, x_start, x_t, t, noise, mask[..., None],
-                config.loss, get_xyz=get_xyz, target_loss_fn=target_loss_fn,
+        else:
+            target_loss_fn = (
+                target_loss_builder(batch)
+                if target_loss_builder is not None else None
             )
-            loss = jnp.mean(weights * terms["loss"])
-            return loss, terms
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            def loss_fn(params):
+                model_out = apply_fn(
+                    {"params": params},
+                    x_t,
+                    sched.model_timesteps(t),
+                    cond,
+                    False,  # deterministic=False: enable dropout
+                    rngs={"dropout": key_dropout},
+                )
+                terms = training_losses(
+                    sched, model_out, x_start, x_t, t, noise, mask[..., None],
+                    config.loss, get_xyz=get_xyz, target_loss_fn=target_loss_fn,
+                )
+                loss = jnp.mean(weights * terms["loss"])
+                return loss, terms
+
+            (loss, terms), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         grad_norm = optax.global_norm(grads)
         param_norm = optax.global_norm(state.params)
         new_state = apply_gradients(state, grads, config.optim, tx)
@@ -163,7 +260,6 @@ def make_train_step(
     if not use_shardings:
         return _with_auto_train_block(jax.jit(step, donate_argnums=(0,)), True)
 
-    mesh = get_mesh()
     if mesh.size == 1 and state_shardings is None:
         # Single-device: explicit sharding annotations only force per-call
         # relayout copies (measured 48x slower through the axon tunnel).
@@ -182,31 +278,40 @@ def make_train_step(
             donate_argnums=(0,),
             in_shardings=(state_sh, data, repl, repl),
             out_shardings=(state_sh, repl, repl),
-        ), False)
+        ), use_sm)
     return _with_auto_train_block(jax.jit(
         step,
         donate_argnums=(0,),
         in_shardings=(state_sh, data, repl),
         out_shardings=(state_sh, repl),
-    ), False)
+    ), use_sm)
 
 
-def _with_auto_train_block(jitted, single_device: bool):
+def _with_auto_train_block(jitted, kernels_on: bool):
     """Bind the fused train-block kernel's AUTO decision to this step.
 
     The fused projections+attention+dropout Pallas kernel
-    (ops/attention_train_block.py) beats XLA on a single device (measured:
-    39.7 vs 43.5 ms/step, docs/BENCHMARKS.md) but a pallas_call carries no
-    SPMD partitioning rule, so under a multi-device mesh it stays off and
-    the XLA mega-fusion path runs. The decision is re-asserted before every
-    call (tracing is deferred to the first call, so a construction-time
-    global would race when two steps coexist); an explicit
+    (ops/attention_train_block.py) beats XLA at the flagship shape
+    (docs/BENCHMARKS.md). `kernels_on` is True for single-device steps AND
+    for pure-DP meshes (where the step runs the model under shard_map, so
+    each shard executes its own pallas_call); False only for
+    tensor-parallel meshes, which keep the XLA mega-fusion path. The
+    decision is re-asserted before every call (tracing is deferred to the
+    first call, so a construction-time global would race when two steps
+    coexist) and restored afterwards; an explicit
     ops.enable_pallas_train_block(True/False) overrides it entirely.
     """
     from .. import ops
 
     def stepper(*args, **kwargs):
-        ops._set_auto_train_block(single_device)
-        return jitted(*args, **kwargs)
+        prev = ops._AUTO_TRAIN_BLOCK
+        ops._set_auto_train_block(kernels_on)
+        try:
+            return jitted(*args, **kwargs)
+        finally:
+            # Restore so unrelated modules jitted later (evaluators, text
+            # towers) don't silently trace through the fused kernels
+            # (ADVICE r4: the auto flags leaked past the wrapped call).
+            ops._set_auto_train_block(prev)
 
     return stepper

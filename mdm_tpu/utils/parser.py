@@ -246,6 +246,12 @@ def load_args_from_model(args, parser, model_path: str):
 
 
 def _build(groups, argv=None):
+    # Every CLI funnels through here before its first jax use — the one
+    # central place to turn on the persistent XLA compilation cache
+    # (opt out with MDM_TPU_COMPILE_CACHE=0; see utils/compile_cache.py).
+    from .compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     for g in groups:
         g(parser)

@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
+from mdm_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # persist XLA/Pallas compiles across processes
+
 import jax
 import jax.numpy as jnp
 import numpy as np

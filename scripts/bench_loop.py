@@ -34,6 +34,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mdm_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # persist XLA/Pallas compiles across processes
+
 import jax
 import jax.numpy as jnp
 import numpy as np

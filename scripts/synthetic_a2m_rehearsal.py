@@ -42,6 +42,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from mdm_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # persist XLA/Pallas compiles across processes
+
 NUM_CLASSES = 12
 FPS = 20.0
 

@@ -273,7 +273,26 @@ class TestAutoDefault:
         batch = {"x": x, "mask": jnp.ones((B, T), bool), "cond": cond}
         return model, sched, config, state, batch, make_train_step
 
+    @staticmethod
+    def _spy(name):
+        """Record every read of ops.<name> (the layer gates read it at
+        trace time, inside the wrapped call). Returns (seen, restore)."""
+        import mdm_tpu.ops as ops
+
+        seen, real = [], getattr(ops, name)
+
+        def rec(*a):
+            v = real(*a)
+            seen.append(v)
+            return v
+
+        setattr(ops, name, rec)
+        return seen, lambda: setattr(ops, name, real)
+
     def test_single_device_step_sets_auto_on(self):
+        """The auto decision is visible DURING the wrapped call (trace
+        time) and restored afterwards (ADVICE r4: no leak into modules
+        jitted later)."""
         import jax
 
         import mdm_tpu.ops as ops
@@ -283,8 +302,13 @@ class TestAutoDefault:
         ops._set_auto_train_block(False)
         step = make_train_step(model.apply, sched, config,
                                use_shardings=False)
-        state, _ = step(state, batch, jax.random.PRNGKey(1))
-        assert ops.pallas_train_block_enabled()
+        seen, restore = self._spy("pallas_train_block_enabled")
+        try:
+            state, _ = step(state, batch, jax.random.PRNGKey(1))
+        finally:
+            restore()
+        assert seen and all(seen), seen  # kernel gate saw auto=on at trace
+        assert not ops.pallas_train_block_enabled()  # restored after call
 
     def test_mesh_step_sets_auto_off(self):
         import jax
@@ -299,10 +323,16 @@ class TestAutoDefault:
             mesh_mod.make_mesh()  # 8-way virtual CPU mesh (conftest)
             step = make_train_step(model.apply, sched, config)
             ops._set_auto_train_block(True)
-            state, _ = step(state, batch, jax.random.PRNGKey(1))
-            assert not ops.pallas_train_block_enabled()
+            seen, restore = self._spy("pallas_train_block_enabled")
+            try:
+                state, _ = step(state, batch, jax.random.PRNGKey(1))
+            finally:
+                restore()
+            assert seen and not any(seen), seen  # gate saw auto=off
+            assert ops.pallas_train_block_enabled()  # restored (was True)
         finally:
             mesh_mod._active_mesh = prev
+            ops._set_auto_train_block(False)
 
     def test_sampling_auto_single_vs_mesh(self):
         """MotionGenerator binds the forward-only block kernel's AUTO
@@ -329,8 +359,13 @@ class TestAutoDefault:
         ops._set_auto_sample_block(False)
         gen = MotionGenerator(model, params, sched, gcfg, "humanact12",
                               norm_stats=None)
-        gen.sample_features(cond, Bm, Tm, jax.random.PRNGKey(1))
-        assert ops.pallas_sample_block_enabled()
+        seen, restore = TestAutoDefault._spy("pallas_sample_block_enabled")
+        try:
+            gen.sample_features(cond, Bm, Tm, jax.random.PRNGKey(1))
+        finally:
+            restore()
+        assert seen and all(seen), seen  # gate saw auto=on at trace time
+        assert not ops.pallas_sample_block_enabled()  # restored after call
 
         prev = mesh_mod._active_mesh
         try:
@@ -338,8 +373,12 @@ class TestAutoDefault:
             gen_mesh = MotionGenerator(model, params, sched, gcfg,
                                        "humanact12", norm_stats=None,
                                        mesh=mesh)
-            gen_mesh.sample_features(cond, Bm, Tm, jax.random.PRNGKey(1))
-            assert not ops.pallas_sample_block_enabled()
+            seen, restore = TestAutoDefault._spy("pallas_sample_block_enabled")
+            try:
+                gen_mesh.sample_features(cond, Bm, Tm, jax.random.PRNGKey(1))
+            finally:
+                restore()
+            assert seen and not any(seen), seen  # gate saw auto=off
         finally:
             mesh_mod._active_mesh = prev
             ops._set_auto_sample_block(False)
