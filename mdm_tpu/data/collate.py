@@ -71,4 +71,12 @@ def collate_prefix(samples: List[Dict], pred_len: int) -> Dict:
         "tokens": [s["tokens"] for s in samples],
         "keys": [s["key"] for s in samples],
     }
+    # Evaluator text features ride along exactly as in collate_batch: the
+    # AR protocol's matching/R-precision metrics consume them, and dropping
+    # them here silently degraded the whole DiP eval to zero text features.
+    if "sent_len" in samples[0]:
+        batch["sent_lens"] = np.asarray([s["sent_len"] for s in samples], np.int32)
+    if "word_embeddings" in samples[0]:
+        batch["word_embeddings"] = np.stack([s["word_embeddings"] for s in samples])
+        batch["pos_one_hots"] = np.stack([s["pos_one_hots"] for s in samples])
     return batch

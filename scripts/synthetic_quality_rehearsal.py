@@ -191,7 +191,10 @@ def main(argv=None):
         return None
 
     # ---- 2. metric encoders (decomp -> match), published 512-d dims.
-    ev_dir = os.path.join(work, "t2m", "text_mot_match", "model")
+    # EvaluatorWrapper resolves "t2m/" for humanml and "<dataset>/" for kit
+    # (eval/evaluator.py:46-47, mirroring the reference's checkpoint layout).
+    ev_family = "t2m" if args.dataset == "humanml" else args.dataset
+    ev_dir = os.path.join(work, ev_family, "text_mot_match", "model")
     os.makedirs(ev_dir, exist_ok=True)
     decomp = os.path.join(work, "decomp.npy")
     finest = os.path.join(ev_dir, "finest.npy")
