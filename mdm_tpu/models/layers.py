@@ -307,6 +307,22 @@ def _fused_tail(d_model, ff_size, dropout, activation, deterministic,
         seed + shard_seed_offset(x.shape[0]), interpret=interp)
 
 
+class _SelfAttnParams(nn.Module):
+    """MultiHeadAttention's exact param tree (q/k/v/out DenseParams) WITHOUT
+    the math, so the fused whole-layer kernel can consume the weights while
+    the checkpoint layout stays bit-identical to the MHA module."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        D = self.d_model
+        return (DenseParams(D, D, name="q_proj")(),
+                DenseParams(D, D, name="k_proj")(),
+                DenseParams(D, D, name="v_proj")(),
+                DenseParams(D, D, name="out_proj")())
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-LN encoder layer (torch default semantics)."""
 
@@ -319,6 +335,45 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, padding_bias=None, deterministic: bool = True):
+        from ..ops import (
+            kernel_backend_ok,
+            pallas_interpret,
+            pallas_layer_inference_enabled,
+        )
+
+        # Whole-layer sampling/eval kernel: the ENTIRE post-LN layer as one
+        # Pallas program per batch cell (ops/layer_inference.py) — bitwise
+        # equal to the block+tail two-kernel path it supersedes, minus the
+        # per-layer [B,S,D] HBM round-trip at their boundary.
+        use_layer = (
+            pallas_layer_inference_enabled()
+            and kernel_backend_ok()
+            and deterministic  # forward-only kernel
+            and self.activation is gelu_exact  # kernel hardcodes exact GELU
+            and (padding_bias is None or padding_bias.shape[-2] == 1)
+            and self.d_model % 128 == 0 and self.ff_size % 128 == 0
+        )
+        if use_layer:
+            from ..ops.layer_inference import fused_layer_inference
+
+            ((wq, bq), (wk, bk), (wv, bv), (wo, bo)) = _SelfAttnParams(
+                self.d_model, name="self_attn")()
+            g1, bl1 = LayerNormParams(self.d_model, name="norm1")()
+            w1, b1 = DenseParams(self.d_model, self.ff_size, name="linear1")()
+            w2, b2 = DenseParams(self.ff_size, self.d_model, name="linear2")()
+            g2, bl2 = LayerNormParams(self.d_model, name="norm2")()
+            kpm = None
+            if padding_bias is not None:
+                kpm = padding_bias.reshape(padding_bias.shape[0], -1)[
+                    :, -x.shape[1]:].astype(jnp.float32)
+            cdt = self.compute_dtype or x.dtype
+            return fused_layer_inference(
+                x.astype(cdt), wq, bq, wk, bk, wv, bv, wo, bo,
+                g1, bl1, w1, b1, w2, b2, g2, bl2,
+                self.num_heads, key_padding_mask=kpm,
+                interpret=pallas_interpret(),
+            )
+
         attn = MultiHeadAttention(
             self.num_heads, self.d_model, self.dropout,
             compute_dtype=self.compute_dtype, name="self_attn",

@@ -222,3 +222,27 @@ def pallas_encoder_tail_enabled(deterministic: bool) -> bool:
     if _PALLAS_ENCODER_TAIL is None:
         return _AUTO_SAMPLE_BLOCK if deterministic else _AUTO_TRAIN_BLOCK
     return _PALLAS_ENCODER_TAIL
+
+
+# Tri-state; auto (None) = on whenever BOTH deterministic kernels it fuses
+# (sample block + encoder tail) are on, i.e. it rides MotionGenerator's
+# single-device / shard_map-DP auto signal. Sampling/eval only — the whole
+# encoder layer (projections + attention + out proj + LN1 + FFN + LN2) runs
+# as ONE Pallas program per batch cell, removing the per-layer [B,S,D] HBM
+# round-trip at the block/tail boundary (ops/layer_inference.py).
+_PALLAS_LAYER_INFERENCE = None
+
+
+def enable_pallas_layer_inference(enabled=True):
+    """Route deterministic self-attention ENCODER LAYERS through the fused
+    whole-layer kernel (ops/layer_inference.py). `None` is AUTO (follows
+    the sample-block + encoder-tail signals); True/False pins. False
+    restores the round-4 two-kernel (block + tail) path for benchmarking."""
+    global _PALLAS_LAYER_INFERENCE
+    _PALLAS_LAYER_INFERENCE = enabled
+
+
+def pallas_layer_inference_enabled() -> bool:
+    if _PALLAS_LAYER_INFERENCE is None:
+        return pallas_sample_block_enabled() and pallas_encoder_tail_enabled(True)
+    return _PALLAS_LAYER_INFERENCE

@@ -37,7 +37,8 @@ from mdm_tpu.sampling import GenerationConfig, MotionGenerator
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", choices=["xla", "pallas", "block", "tail"],
+    ap.add_argument("--variant",
+                    choices=["xla", "pallas", "block", "tail", "layer"],
                     required=True)
     ap.add_argument("--batch", type=int, default=128)
     args = ap.parse_args()
@@ -61,6 +62,13 @@ def main():
     elif args.variant == "tail":  # block kernel + fused encoder tail
         ops.enable_pallas_sample_block(True)
         ops.enable_pallas_encoder_tail(True)
+        # Since r5 the whole-layer kernel auto-supersedes block+tail; pin
+        # it off to measure the round-4 two-kernel path.
+        ops.enable_pallas_layer_inference(False)
+    elif args.variant == "layer":  # whole encoder layer as ONE program (r5)
+        ops.enable_pallas_sample_block(True)
+        ops.enable_pallas_encoder_tail(True)
+        ops.enable_pallas_layer_inference(True)
     else:
         ops.enable_pallas_sample_block(False)
         ops.enable_pallas_encoder_tail(False)
