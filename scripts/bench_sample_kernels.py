@@ -41,6 +41,11 @@ def main():
                     choices=["xla", "pallas", "block", "tail", "layer"],
                     required=True)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--sampler", default="ddpm",
+                    help="ddpm | ddim | plms | dpmpp_2m (remeasure the "
+                         "fast-sampler rows under the shipped kernels)")
+    ap.add_argument("--steps", type=int, default=50,
+                    help="respaced step count (DPM rows: 10/20)")
     args = ap.parse_args()
 
     import mdm_tpu.ops as ops
@@ -87,9 +92,10 @@ def main():
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32), cond
     )
-    sched = Schedule.create("cosine", 1000, timestep_respacing="50")
+    sched = Schedule.create("cosine", 1000, timestep_respacing=str(args.steps))
     gen = MotionGenerator(
-        model, params, sched, GenerationConfig(guidance_scale=2.5), "humanml"
+        model, params, sched,
+        GenerationConfig(guidance_scale=2.5, sampler=args.sampler), "humanml"
     )
     key = jax.random.PRNGKey(1)
     fb = {"joints": None, "i": 0}
@@ -112,6 +118,7 @@ def main():
     sec = (t2 - t1) / (10 * B)
     print(json.dumps({
         "variant": args.variant, "B": B,
+        "sampler": args.sampler, "steps": args.steps,
         "ms_per_sample": round(sec * 1e3, 3),
         "s_per_batch": round(sec * B, 4),
     }))
