@@ -105,9 +105,9 @@ def main(argv=None):
     else:
         print(f"WARNING: {clf_path} missing; random STGCN features")
         degraded.append("random-init-stgcn-features")
-        stg_params = stgcn.init(
+        stg_params = jax.jit(stgcn.init)(
             jax.random.PRNGKey(1), jnp.zeros((1, num_frames, 15, 3))
-        )
+        )  # jitted: eager init through the tunnel is ~10x slower
     run_stgcn = jax.jit(lambda x: stgcn.apply(stg_params, x)["features"])
 
     def features_for(motions_xyz):

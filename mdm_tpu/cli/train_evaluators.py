@@ -192,8 +192,10 @@ def _train_unconstrained_stgcn(args):
               "pseudo-joint features (stamped in the saved .npy)")
     subset = jnp.asarray(UNCONSTRAINED_JOINT_SUBSET)
 
-    to_inputs = jax.jit(lambda xyz: (
-        xyz[:, :, subset] - xyz[:, :1, subset][:, :, 8:9]))
+    # One jit for decode+center: separate get_xyz / to_inputs dispatches pay
+    # two tunnel round-trips per cached batch (measured ~9 s/batch).
+    to_inputs = jax.jit(lambda feats: (lambda xyz: (
+        xyz[:, :, subset] - xyz[:, :1, subset][:, :, 8:9]))(get_xyz(feats)))
 
     cfg = STGCNConfig(in_channels=3, num_class=dataset.num_actions,
                       layout="openpose_modi15", edge_importance=True)
@@ -205,7 +207,7 @@ def _train_unconstrained_stgcn(args):
                                seed=seed, infinite=False)
             for b in it:
                 yield {
-                    "x": to_inputs(get_xyz(jnp.asarray(b["x"]))),
+                    "x": to_inputs(jnp.asarray(b["x"])),
                     "lengths": jnp.asarray(np.asarray(b["lengths"], np.int32)),
                     "y": jnp.asarray(np.asarray(b["action"], np.int32)),
                 }

@@ -289,7 +289,10 @@ def make_a2m_classifier_step(classifier, input_size: int, num_frames: int,
     def init(key):
         x0 = (example_x if example_x is not None
               else jnp.zeros((1, num_frames, input_size)))
-        params = classifier.init(key, x0, jnp.array([num_frames]))
+        # jit the init: eager big-module init through the axon tunnel is
+        # pathologically slow (measured 83 s for the modi-15 STGCN vs ~10 s
+        # jitted — CLAUDE.md gotcha).
+        params = jax.jit(classifier.init)(key, x0, jnp.array([num_frames]))
         return params, tx.init(params)
 
     return init, step
