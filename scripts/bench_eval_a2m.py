@@ -70,8 +70,8 @@ def main():
     # classifier consumes [B, T, J*3] xyz features; random weights
     clf = MotionDiscriminator(input_size=72, hidden_size=128,
                               output_size=n_classes)
-    clf_params = clf.init(jax.random.PRNGKey(1), jnp.zeros((1, T, 72)),
-                          jnp.array([T]))
+    clf_params = jax.jit(clf.init)(jax.random.PRNGKey(1),
+                                   jnp.zeros((1, T, 72)), jnp.array([T]))
 
     gt = [
         {
@@ -90,19 +90,27 @@ def main():
         # generate -> FK -> classify chain pipelines without host syncs.
         return feats[..., :72].astype(jnp.float32)
 
+    # Megabatched protocol, exactly like the real CLI's
+    # make_a2m_loaders_factory (eval/a2m_setup.py:200-259): each of the
+    # gen/gt/gt2 passes is ONE device call over the whole concatenated
+    # epoch — one H2D, one sampler dispatch, one classifier dispatch per
+    # pass — instead of ~19 per-batch dispatches each.
+    xyz_all = np.concatenate([b["xyz"] for b in gt])
+    mask_all = np.concatenate([b["mask"] for b in gt])
+    len_all = np.concatenate([b["lengths"] for b in gt])
+    y_all = np.concatenate([b["y"] for b in gt])
+    n_clips = len(y_all)
+
     def make_loaders(seed):
         key = jax.random.PRNGKey(seed)
-        gt1, gt2, genb = [], [], []
-        for b in gt:
-            gt1.append({"output_xyz": b["xyz"], "lengths": b["lengths"], "y": b["y"]})
-            gt2.append({"output_xyz": b["xyz"][::-1].copy(),
-                        "lengths": b["lengths"], "y": b["y"]})
-            key, sub = jax.random.split(key)
-            cond = Conditioning(frames_mask=jnp.asarray(b["mask"]),
-                                action=jnp.asarray(b["y"]))
-            feats = gen.sample_features(cond, B, T, sub)
-            genb.append({"output_xyz": feature_input(feats),
-                         "lengths": b["lengths"], "y": b["y"]})
+        gt1 = [{"output_xyz": xyz_all, "lengths": len_all, "y": y_all}]
+        gt2 = [{"output_xyz": xyz_all[::-1].copy(), "lengths": len_all,
+                "y": y_all}]
+        cond = Conditioning(frames_mask=jnp.asarray(mask_all),
+                            action=jnp.asarray(y_all))
+        feats = gen.sample_features(cond, n_clips, T, key)
+        genb = [{"output_xyz": feature_input(feats),
+                 "lengths": len_all, "y": y_all}]
         return {"gt": gt1, "gt2": gt2, "gen": genb}
 
     ev = A2MEvaluation(clf, clf_params,
